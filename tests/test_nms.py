@@ -1,0 +1,89 @@
+"""Tiled TPU NMS vs an independent numpy greedy-NMS reference (torchvision
+semantics: descending score, IoU > threshold suppresses, stable ties)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.ops import (
+    nms_fixed,
+    batched_nms_fixed,
+)
+from tests.test_box_ops import np_iou, rand_boxes
+
+
+def np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    keep = np.zeros(len(boxes), bool)
+    iou = np_iou(boxes, boxes)
+    for i in order:
+        suppressed = any(iou[j, i] > thresh for j in np.where(keep)[0])
+        keep[i] = not suppressed
+    return keep
+
+
+def test_nms_matches_reference():
+    rng = np.random.RandomState(0)
+    boxes = rand_boxes(rng, 200, size=200)  # dense -> many overlaps
+    scores = rng.uniform(0, 1, 200).astype(np.float32)
+    valid = np.ones(200, bool)
+    for thresh in [0.3, 0.5, 0.7]:
+        keep, order = nms_fixed(
+            jnp.array(boxes), jnp.array(scores), jnp.array(valid), thresh
+        )
+        ref = np_greedy_nms(boxes, scores, thresh)
+        np.testing.assert_array_equal(np.asarray(keep), ref)
+
+
+def test_nms_chain_revival():
+    # A suppresses B, B suppresses C, A does not suppress C -> C survives.
+    boxes = np.array(
+        [[0, 0, 10, 10], [5, 0, 15, 10], [10.5, 0, 20.5, 10]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    keep, _ = nms_fixed(
+        jnp.array(boxes), jnp.array(scores), jnp.ones(3, bool), 0.3
+    )
+    assert np.asarray(keep).tolist() == [True, False, True]
+
+
+def test_nms_respects_padding():
+    rng = np.random.RandomState(1)
+    boxes = rand_boxes(rng, 50, size=100)
+    scores = rng.uniform(0, 1, 50).astype(np.float32)
+    valid = np.ones(50, bool)
+    valid[30:] = False
+    keep, _ = nms_fixed(
+        jnp.array(boxes), jnp.array(scores), jnp.array(valid), 0.5
+    )
+    keep = np.asarray(keep)
+    assert not keep[30:].any()
+    ref = np_greedy_nms(boxes[:30], scores[:30], 0.5)
+    np.testing.assert_array_equal(keep[:30], ref)
+
+
+def test_nms_cross_tile():
+    # >TILE boxes to exercise the tiled cross-suppression path.
+    rng = np.random.RandomState(2)
+    boxes = rand_boxes(rng, 300, size=150)
+    scores = rng.uniform(0, 1, 300).astype(np.float32)
+    keep, _ = nms_fixed(
+        jnp.array(boxes), jnp.array(scores), jnp.ones(300, bool), 0.5
+    )
+    ref = np_greedy_nms(boxes, scores, 0.5)
+    np.testing.assert_array_equal(np.asarray(keep), ref)
+
+
+def test_batched_nms_classes_dont_interact():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    # same class -> second suppressed; different class -> both kept
+    keep_same, _ = batched_nms_fixed(
+        jnp.array(boxes), jnp.array(scores), jnp.array([0, 0]),
+        jnp.ones(2, bool), 0.5,
+    )
+    keep_diff, _ = batched_nms_fixed(
+        jnp.array(boxes), jnp.array(scores), jnp.array([0, 1]),
+        jnp.ones(2, bool), 0.5,
+    )
+    assert np.asarray(keep_same).tolist() == [True, False]
+    assert np.asarray(keep_diff).tolist() == [True, True]
