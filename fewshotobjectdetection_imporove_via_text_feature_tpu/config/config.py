@@ -1,0 +1,155 @@
+"""Self-contained yacs-style config system.
+
+Mirrors the reference's config surface (defrcn/config/config.py:5-99 —
+fvcore CfgNode with ``_BASE_`` YAML inheritance, dotted-path CLI overrides,
+and a global-cfg singleton) without the fvcore/yacs dependency, and defines
+the COMPLETE schema in defaults.py — including the keys the reference reads
+but never commits (MODEL.ROI_HEADS.TEACHER_TRAINING etc., see SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import os
+from typing import Any
+
+import yaml
+
+_BASE_KEY = "_BASE_"
+
+
+class CfgNode(dict):
+    """dict with attribute access, deep merge, and YAML loading."""
+
+    def __init__(self, init_dict: dict | None = None):
+        init_dict = init_dict or {}
+        super().__init__()
+        for k, v in init_dict.items():
+            self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    # -- attribute access ------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        if name in self:
+            return self[name]
+        raise AttributeError(f"Config has no key {name!r}")
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = CfgNode(value) if isinstance(value, dict) and not isinstance(value, CfgNode) else value
+
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    # -- merging ---------------------------------------------------------
+    def merge_from_other_cfg(self, other: "CfgNode") -> None:
+        _merge(other, self, allow_new=False)
+
+    def merge_from_file(self, cfg_filename: str, allow_unsafe: bool = True) -> None:
+        loaded = _load_yaml_with_base(cfg_filename)
+        _merge(loaded, self, allow_new=False)
+
+    def merge_from_list(self, opts: list) -> None:
+        assert len(opts) % 2 == 0, f"Override list has odd length: {opts}"
+        for full_key, v in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = full_key.split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"Non-existent config key: {full_key}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"Non-existent config key: {full_key}")
+            node[leaf] = _coerce(v, node[leaf])
+
+    # -- io ----------------------------------------------------------------
+    def dump(self) -> str:
+        return yaml.safe_dump(_to_plain(self), default_flow_style=None)
+
+    def freeze(self):  # compat no-op: we rely on discipline, not locking
+        return self
+
+    def defrost(self):
+        return self
+
+
+def _to_plain(node):
+    if isinstance(node, CfgNode):
+        return {k: _to_plain(v) for k, v in node.items()}
+    if isinstance(node, tuple):
+        return list(node)
+    return node
+
+
+def _merge(src: dict, dst: CfgNode, allow_new: bool) -> None:
+    for k, v in src.items():
+        if k == _BASE_KEY:
+            continue
+        if k not in dst:
+            if not allow_new:
+                raise KeyError(f"Non-existent config key: {k}")
+            dst[k] = CfgNode(v) if isinstance(v, dict) else v
+        elif isinstance(v, dict) and isinstance(dst[k], CfgNode):
+            _merge(v, dst[k], allow_new)
+        else:
+            dst[k] = _coerce_merged(v, dst[k])
+
+
+def _coerce_merged(new: Any, old: Any) -> Any:
+    # YAML gives lists; keep tuples as tuples when the default was a tuple.
+    if isinstance(old, tuple) and isinstance(new, (list, tuple)):
+        return tuple(new)
+    if isinstance(new, str):
+        return _coerce(new, old)
+    return new
+
+
+def _coerce(v: str, old: Any) -> Any:
+    """Parse a CLI/YAML string override against the default's type."""
+    if not isinstance(v, str):
+        return v
+    try:
+        parsed = ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        parsed = v
+    if isinstance(old, tuple) and isinstance(parsed, (list, tuple)):
+        return tuple(parsed)
+    if isinstance(old, bool) and isinstance(parsed, int):
+        return bool(parsed)
+    return parsed
+
+
+def _load_yaml_with_base(filename: str) -> dict:
+    with open(filename) as f:
+        cfg = yaml.safe_load(f) or {}
+    base = cfg.pop(_BASE_KEY, None)
+    if base:
+        if not os.path.isabs(base):
+            base = os.path.join(os.path.dirname(filename), base)
+        base_cfg = _load_yaml_with_base(base)
+        _merge_plain(cfg, base_cfg)
+        return base_cfg
+    return cfg
+
+
+def _merge_plain(src: dict, dst: dict) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge_plain(v, dst[k])
+        else:
+            dst[k] = v
+
+
+def get_cfg() -> CfgNode:
+    from .defaults import _C
+
+    return _C.clone()
+
+
+global_cfg = CfgNode()
+
+
+def set_global_cfg(cfg: CfgNode) -> None:
+    global global_cfg
+    global_cfg.clear()
+    global_cfg.update(cfg)

@@ -1,0 +1,85 @@
+"""Model builder: cfg -> flax meta-architecture module.
+
+Mirrors the reference's registry pattern (defrcn/modeling/meta_arch/build.py
+META_ARCH_REGISTRY + roi_heads.py ROI_HEADS_REGISTRY) with plain dicts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+META_ARCH_REGISTRY = {}
+
+
+def register_meta_arch(name):
+    def deco(fn):
+        META_ARCH_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def _common_kwargs(cfg):
+    dtype = (
+        jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    )
+    freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
+    if cfg.MODEL.BACKBONE.FREEZE:
+        freeze_at = 4
+    return dict(
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        rpn_enable_decouple=cfg.MODEL.RPN.ENABLE_DECOUPLE,
+        rpn_backward_scale=cfg.MODEL.RPN.BACKWARD_SCALE,
+        roi_enable_decouple=cfg.MODEL.ROI_HEADS.ENABLE_DECOUPLE,
+        roi_backward_scale=cfg.MODEL.ROI_HEADS.BACKWARD_SCALE,
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        freeze_at=freeze_at,
+        freeze_backbone=cfg.MODEL.BACKBONE.FREEZE,
+        freeze_rpn=cfg.MODEL.RPN.FREEZE,
+        freeze_roi_feat=cfg.MODEL.ROI_HEADS.FREEZE_FEAT,
+        anchor_sizes=tuple(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0]),
+        anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
+        rpn_pre_nms_topk=(
+            cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+            cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
+        ),
+        rpn_post_nms_topk=(
+            cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+            cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+        ),
+        rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        roi_iou_threshold=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+        box_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+        cls_dropout=cfg.MODEL.ROI_HEADS.CLS_DROPOUT,
+        dropout_ratio=cfg.MODEL.ROI_HEADS.DROPOUT_RATIO,
+        test_score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        test_nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        test_topk_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        test_candidate_topk=cfg.TPU.MAX_DETECTIONS_PRE_NMS,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        dtype=dtype,
+    )
+
+
+@register_meta_arch("GeneralizedRCNN")
+def _build_generalized_rcnn(cfg):
+    from .meta_arch import GeneralizedRCNN
+
+    return GeneralizedRCNN(**_common_kwargs(cfg))
+
+
+def build_model(cfg):
+    name = cfg.MODEL.META_ARCHITECTURE
+    if name not in META_ARCH_REGISTRY:
+        raise KeyError(
+            f"Unknown META_ARCHITECTURE {name!r}; have "
+            f"{sorted(META_ARCH_REGISTRY)}"
+        )
+    return META_ARCH_REGISTRY[name](cfg)

@@ -1,0 +1,287 @@
+"""Meta-architecture: GeneralizedRCNN — one jit-compiled program.
+
+Spec source: defrcn/modeling/meta_arch/rcnn.py:21-115 — normalize ->
+backbone -> (GDL + affine) -> RPN -> (GDL + affine) -> ROI heads; plus the
+DeFRCN freeze switches. Text/semantic meta-arch variants are built in
+text_heads.py on top of this skeleton.
+
+TPU re-design: the whole forward (train or inference) is a single traced
+function over fixed-shape batches. Per-image Python loops from the
+reference (preprocess, postprocess, per-image RPN/ROI logic) are vmapped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.gdl import decouple_layer
+from ..structures import Detections, GTInstances, ImageBatch, Proposals
+from .backbone import ResNetC4
+from .fast_rcnn import fast_rcnn_inference, fast_rcnn_losses, rescale_detections
+from .roi_heads import Res5ROIHeads, label_and_sample_proposals
+from .rpn import (
+    RPNHead,
+    generate_anchors,
+    label_and_sample_anchors,
+    rpn_losses,
+    select_top_proposals,
+)
+
+
+class AffineLayer(nn.Module):
+    """Per-channel scale (+ optional bias) on a feature map
+    (ref gdl.py:19-34)."""
+
+    channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.channels,))
+        out = x * w.astype(x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.channels,))
+            out = out + b.astype(x.dtype)
+        return out
+
+
+class GeneralizedRCNN(nn.Module):
+    """DeFRCN-style Faster R-CNN C4 with gradient-decoupled branches."""
+
+    num_classes: int = 20
+    # GDL
+    rpn_enable_decouple: bool = True
+    rpn_backward_scale: float = 0.0
+    roi_enable_decouple: bool = True
+    roi_backward_scale: float = 0.75
+    # backbone
+    depth: int = 101
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    width_per_group: int = 64
+    freeze_at: int = 3
+    freeze_backbone: bool = False
+    freeze_rpn: bool = False
+    freeze_roi_feat: bool = False
+    # RPN
+    anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    anchor_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_stride: int = 16
+    rpn_pre_nms_topk: Tuple[int, int] = (12000, 6000)  # (train, test)
+    rpn_post_nms_topk: Tuple[int, int] = (2000, 1000)
+    rpn_nms_thresh: float = 0.7
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    # ROI
+    roi_batch_per_image: int = 512
+    roi_positive_fraction: float = 0.25
+    roi_iou_threshold: float = 0.5
+    box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    smooth_l1_beta: float = 0.0
+    cls_agnostic_bbox_reg: bool = False
+    cls_dropout: bool = False
+    dropout_ratio: float = 0.8
+    # test
+    test_score_thresh: float = 0.05
+    test_nms_thresh: float = 0.5
+    test_topk_per_image: int = 100
+    test_candidate_topk: int = 1024
+    # pixel stats (BGR / Caffe2)
+    pixel_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
+    pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNetC4(
+            depth=self.depth,
+            stem_out_channels=self.stem_out_channels,
+            res2_out_channels=self.res2_out_channels,
+            width_per_group=self.width_per_group,
+            freeze_at=self.freeze_at,
+            dtype=self.dtype,
+        )
+        num_anchors = len(self.anchor_sizes) * len(self.anchor_aspect_ratios)
+        self.rpn_head = RPNHead(num_anchors=num_anchors, dtype=self.dtype)
+        c4 = self.res2_out_channels * 4
+        self.affine_rpn = AffineLayer(channels=c4, use_bias=True)
+        self.affine_rcnn = AffineLayer(channels=c4, use_bias=True)
+        self.roi_heads = self.build_roi_heads()
+
+    def build_roi_heads(self):
+        from .backbone import RESNET_STAGES
+
+        return Res5ROIHeads(
+            num_classes=self.num_classes,
+            res2_out_channels=self.res2_out_channels,
+            width_per_group=self.width_per_group,
+            res5_blocks=RESNET_STAGES[self.depth][3],
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            cls_dropout=self.cls_dropout,
+            dropout_ratio=self.dropout_ratio,
+            dtype=self.dtype,
+        )
+
+    # ------------------------------------------------------------------
+    def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.pixel_mean, image.dtype)
+        std = jnp.asarray(self.pixel_std, image.dtype)
+        return (image - mean) / std
+
+    def compute_features(self, images: ImageBatch):
+        x = self.normalize(images.image)
+        feats = self.backbone(x)
+        feat = feats["res4"]
+        if self.freeze_backbone:
+            feat = jax.lax.stop_gradient(feat)
+        return feat, feats
+
+    def branch_features(self, feat):
+        """Apply GDL + affine per branch (ref rcnn.py:88-98)."""
+        if self.rpn_enable_decouple:
+            feat_rpn = self.affine_rpn(
+                decouple_layer(feat, self.rpn_backward_scale)
+            )
+        else:
+            feat_rpn = feat
+        if self.roi_enable_decouple:
+            feat_rcnn = self.affine_rcnn(
+                decouple_layer(feat, self.roi_backward_scale)
+            )
+        else:
+            feat_rcnn = feat
+        return feat_rpn, feat_rcnn
+
+    def run_rpn(self, feat_rpn, images: ImageBatch, train: bool):
+        logits, deltas = self.rpn_head(feat_rpn)
+        if self.freeze_rpn:
+            logits = jax.lax.stop_gradient(logits)
+            deltas = jax.lax.stop_gradient(deltas)
+        h, w = feat_rpn.shape[1], feat_rpn.shape[2]
+        anchors = jnp.asarray(
+            generate_anchors(
+                (h, w),
+                stride=self.anchor_stride,
+                sizes=self.anchor_sizes,
+                aspect_ratios=self.anchor_aspect_ratios,
+            )
+        )
+        idx = 0 if train else 1
+        proposals = select_top_proposals(
+            jax.lax.stop_gradient(logits),
+            jax.lax.stop_gradient(deltas),
+            anchors,
+            images.hw,
+            pre_nms_topk=self.rpn_pre_nms_topk[idx],
+            post_nms_topk=self.rpn_post_nms_topk[idx],
+            nms_thresh=self.rpn_nms_thresh,
+        )
+        return logits, deltas, anchors, proposals
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        images: ImageBatch,
+        gt: Optional[GTInstances] = None,
+        *,
+        train: bool = False,
+    ):
+        if train:
+            return self.forward_train(images, gt)
+        return self.forward_inference(images, gt)
+
+    def forward_train(self, images: ImageBatch, gt: GTInstances):
+        feat, _ = self.compute_features(images)
+        feat_rpn, feat_rcnn = self.branch_features(feat)
+
+        logits, deltas, anchors, proposals = self.run_rpn(
+            feat_rpn, images, train=True
+        )
+
+        # --- RPN losses (vmapped anchor labeling) ---
+        key = self.make_rng("sampling")
+        b = images.image.shape[0]
+        anchor_keys = jax.random.split(key, b + 1)
+        gt_labels, matched_boxes = jax.vmap(
+            lambda k, gtb: label_and_sample_anchors(
+                k, anchors, gtb,
+                batch_size_per_image=self.rpn_batch_per_image,
+                positive_fraction=self.rpn_positive_fraction,
+            )
+        )(anchor_keys[1:], gt)
+        losses = rpn_losses(
+            logits, deltas, anchors, gt_labels, matched_boxes,
+            batch_size_per_image=self.rpn_batch_per_image,
+            smooth_l1_beta=0.0,
+        )
+
+        # --- ROI sampling (vmapped) ---
+        roi_key = anchor_keys[0]
+        roi_keys = jax.random.split(roi_key, b)
+        sampled = jax.vmap(
+            lambda k, p, g: label_and_sample_proposals(
+                k, p, g,
+                batch_size_per_image=self.roi_batch_per_image,
+                positive_fraction=self.roi_positive_fraction,
+                num_classes=self.num_classes,
+                iou_threshold=self.roi_iou_threshold,
+            )
+        )(roi_keys, proposals, gt)
+
+        roi_losses = self.roi_losses(feat_rcnn, sampled)
+        losses.update(roi_losses)
+        return losses
+
+    def roi_losses(self, feat_rcnn, sampled) -> Dict[str, jnp.ndarray]:
+        scores, deltas = self.roi_heads(
+            feat_rcnn, sampled["boxes"], train=True
+        )
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        return fast_rcnn_losses(
+            scores,
+            deltas,
+            flat(sampled["boxes"]),
+            flat(sampled["gt_boxes"]),
+            flat(sampled["gt_classes"]),
+            flat(sampled["valid"]),
+            num_classes=self.num_classes,
+            box_reg_weights=self.box_reg_weights,
+            smooth_l1_beta=self.smooth_l1_beta,
+        )
+
+    def forward_inference(
+        self, images: ImageBatch, gt: Optional[GTInstances] = None
+    ) -> Detections:
+        feat, _ = self.compute_features(images)
+        feat_rpn, feat_rcnn = self.branch_features(feat)
+        _, _, _, proposals = self.run_rpn(feat_rpn, images, train=False)
+
+        scores, deltas = self.roi_heads(
+            feat_rcnn, proposals.boxes, train=False
+        )
+        b, p = proposals.boxes.shape[:2]
+        scores = scores.reshape(b, p, -1)
+        deltas = deltas.reshape(b, p, -1)
+
+        def per_image(s, d, pb, pv, hw, ohw):
+            bx, sc, cl, va = fast_rcnn_inference(
+                s, d, pb, pv, hw,
+                num_classes=self.num_classes,
+                score_thresh=self.test_score_thresh,
+                nms_thresh=self.test_nms_thresh,
+                topk_per_image=self.test_topk_per_image,
+                candidate_topk=self.test_candidate_topk,
+                box_reg_weights=self.box_reg_weights,
+            )
+            bx = rescale_detections(bx, hw, ohw)
+            return bx, sc, cl, va
+
+        bx, sc, cl, va = jax.vmap(per_image)(
+            scores, deltas, proposals.boxes, proposals.valid,
+            images.hw, images.orig_hw,
+        )
+        return Detections(boxes=bx, scores=sc, classes=cl, valid=va)

@@ -1,0 +1,128 @@
+"""ROI heads — C4 Res5 head family, batched and fixed-shape.
+
+Spec source: defrcn/modeling/roi_heads/roi_heads.py —
+``ROIHeads.label_and_sample_proposals`` (:157-250, incl. appending GT boxes
+to proposals), ``Res5ROIHeads`` (:280-386: ROIAlign 7x7 over res4 @1/16 ->
+res5 -> global mean pool -> FastRCNN predictor). Text/semantic variants live
+in text_heads.py.
+
+TPU re-design: proposals+GT live in a fixed (P+G) slot grid per image;
+matching/sampling is vmapped; the pooled ROI batch has static shape
+(B, S, 7, 7, C) so res5 compiles to one big MXU-friendly conv stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import pairwise_iou, match_proposals, sample_proposals_fixed
+from ..ops.roi_align import roi_align
+from ..structures import GTInstances, Proposals
+from .backbone import Res5Stage
+from .fast_rcnn import FastRCNNOutputLayers, fast_rcnn_losses, fast_rcnn_inference
+
+
+def label_and_sample_proposals(
+    key,
+    proposals: Proposals,
+    gt: GTInstances,
+    batch_size_per_image: int = 512,
+    positive_fraction: float = 0.25,
+    num_classes: int = 20,
+    iou_threshold: float = 0.5,
+    append_gt: bool = True,
+):
+    """Match proposals+GT against GT, sample a fixed S-slot training set.
+
+    All arrays are per-image (vmap over batch in the caller).
+
+    Returns dict with boxes (S, 4), gt_classes (S,), gt_boxes (S, 4),
+    valid (S,).
+    """
+    if append_gt:
+        boxes = jnp.concatenate([proposals.boxes, gt.boxes], axis=0)
+        valid = jnp.concatenate([proposals.valid, gt.valid], axis=0)
+    else:
+        boxes, valid = proposals.boxes, proposals.valid
+
+    iou = pairwise_iou(gt.boxes, boxes)  # (G, P+G)
+    # mask out padded proposal columns so they can't match
+    iou = jnp.where(valid[None, :], iou, 0.0)
+    matched_idx, matched_labels = match_proposals(
+        iou, gt.valid, [iou_threshold], [0, 1], False
+    )
+
+    gt_classes = jnp.where(
+        jnp.any(gt.valid),
+        gt.classes[matched_idx],
+        num_classes,
+    )
+    gt_classes = jnp.where(matched_labels == 0, num_classes, gt_classes)
+    gt_classes = jnp.where(matched_labels == -1, -1, gt_classes)
+    # padded proposal slots must never be sampled
+    gt_classes = jnp.where(valid, gt_classes, -1)
+
+    sampled_idx, sampled_valid = sample_proposals_fixed(
+        key, gt_classes, batch_size_per_image, positive_fraction, num_classes
+    )
+
+    return {
+        "boxes": boxes[sampled_idx],
+        "gt_classes": jnp.where(
+            sampled_valid, gt_classes[sampled_idx], num_classes
+        ),
+        "gt_boxes": gt.boxes[matched_idx[sampled_idx]],
+        "valid": sampled_valid,
+    }
+
+
+class Res5ROIHeads(nn.Module):
+    """C4 ROI head: ROIAlign(7x7, 1/16) -> res5 -> mean pool -> predictor."""
+
+    num_classes: int
+    pooler_resolution: int = 7
+    pooler_scale: float = 1.0 / 16.0
+    sampling_ratio: int = 2
+    res2_out_channels: int = 256
+    width_per_group: int = 64
+    res5_blocks: int = 3
+    cls_agnostic_bbox_reg: bool = False
+    cls_dropout: bool = False
+    dropout_ratio: float = 0.8
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.res5 = Res5Stage(
+            res2_out_channels=self.res2_out_channels,
+            width_per_group=self.width_per_group,
+            num_blocks=self.res5_blocks,
+            dtype=self.dtype,
+        )
+        self.box_predictor = FastRCNNOutputLayers(
+            num_classes=self.num_classes,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            cls_dropout=self.cls_dropout,
+            dropout_ratio=self.dropout_ratio,
+        )
+
+    def pooled_features(self, features: jnp.ndarray, boxes: jnp.ndarray):
+        """features (B, H, W, C); boxes (B, S, 4) -> (B*S, 2048) pooled."""
+        b, s = boxes.shape[:2]
+        pooled = jax.vmap(
+            lambda f, bx: roi_align(
+                f, bx, self.pooler_resolution, self.pooler_scale,
+                self.sampling_ratio,
+            )
+        )(features, boxes)  # (B, S, 7, 7, C)
+        pooled = pooled.reshape(b * s, *pooled.shape[2:]).astype(self.dtype)
+        x = self.res5(pooled)  # (B*S, 4, 4, 2048)
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (B*S, 2048)
+
+    def __call__(self, features, boxes, *, train: bool = False):
+        feat = self.pooled_features(features, boxes)
+        scores, deltas = self.box_predictor(feat, train=train)
+        return scores, deltas
