@@ -1,0 +1,158 @@
+"""Batched fixed-shape data loaders.
+
+Replaces defrcn/dataloader/build.py (torch DataLoader + TrainingSampler /
+InferenceSampler + aspect-ratio grouping): a background-threaded pipeline
+that yields dense numpy batches grouped by padded bucket shape, ready to be
+device_put onto the TPU data mesh axis.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..structures import GTInstances, ImageBatch
+from .catalog import DatasetCatalog
+from .mapper import DatasetMapper
+
+__all__ = [
+    "get_detection_dataset_dicts",
+    "build_detection_train_loader",
+    "build_detection_test_loader",
+]
+
+
+def get_detection_dataset_dicts(names, filter_empty=True):
+    if isinstance(names, str):
+        names = [names]
+    dicts = []
+    for name in names:
+        d = DatasetCatalog.get(name)
+        assert len(d), f"Dataset {name} is empty"
+        dicts.extend(d)
+    if filter_empty:
+        dicts = [r for r in dicts if len(r.get("annotations", []))]
+    return dicts
+
+
+def _stack_batch(items: List[Dict]):
+    images = ImageBatch(
+        image=np.stack([it["image"] for it in items]),
+        hw=np.stack([it["hw"] for it in items]),
+        orig_hw=np.stack([it["orig_hw"] for it in items]),
+    )
+    gt = GTInstances(
+        boxes=np.stack([it["gt_boxes"] for it in items]),
+        classes=np.stack([it["gt_classes"] for it in items]),
+        valid=np.stack([it["gt_valid"] for it in items]),
+    )
+    meta = {
+        "image_ids": [it["image_id"] for it in items],
+        "valid_count": sum(1 for it in items if not it.get("_pad", False)),
+    }
+    return images, gt, meta
+
+
+class _Prefetcher:
+    """Runs an iterator in a daemon thread with a small queue."""
+
+    def __init__(self, gen_fn, maxsize=4):
+        self._q = queue.Queue(maxsize=maxsize)
+        self._t = threading.Thread(
+            target=self._run, args=(gen_fn,), daemon=True
+        )
+        self._t.start()
+
+    def _run(self, gen_fn):
+        try:
+            for item in gen_fn():
+                self._q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            self._q.put(e)
+        self._q.put(StopIteration)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is StopIteration:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+
+def build_detection_train_loader(
+    cfg, dataset_names=None, *, seed: int = 0, prefetch: bool = True
+) -> Iterator:
+    """Infinite shuffled loader; batches grouped by image bucket (the
+    TPU-shape analog of the reference's aspect-ratio grouping,
+    dataloader/build.py:188-290)."""
+    names = dataset_names or cfg.DATASETS.TRAIN
+    dicts = get_detection_dataset_dicts(
+        names, filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
+    )
+    mapper = DatasetMapper(
+        is_train=True,
+        min_size=cfg.INPUT.MIN_SIZE_TRAIN,
+        max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+        buckets=cfg.TPU.IMAGE_BUCKETS,
+        max_gt=cfg.TPU.MAX_GT,
+        image_format=cfg.INPUT.FORMAT,
+        random_flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
+    )
+    batch_size = cfg.SOLVER.IMS_PER_BATCH
+
+    def generate():
+        rng = np.random.RandomState(seed)
+        groups: Dict[tuple, List] = {}
+        for epoch in itertools.count():
+            order = rng.permutation(len(dicts))
+            for i in order:
+                item = mapper(dicts[int(i)], rng)
+                key = item["bucket"]
+                groups.setdefault(key, []).append(item)
+                if len(groups[key]) == batch_size:
+                    yield _stack_batch(groups.pop(key))
+
+    return _Prefetcher(generate) if prefetch else generate()
+
+
+def build_detection_test_loader(
+    cfg, dataset_name: str, batch_size: int = 1, *, prefetch: bool = True
+) -> Iterator:
+    """Sequential loader over the full test set; the trailing partial batch
+    is padded with copies flagged via meta['valid_count']."""
+    dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
+    mapper = DatasetMapper(
+        is_train=False,
+        min_size=cfg.INPUT.MIN_SIZE_TEST,
+        max_size=cfg.INPUT.MAX_SIZE_TEST,
+        buckets=cfg.TPU.IMAGE_BUCKETS,
+        max_gt=cfg.TPU.MAX_GT,
+        image_format=cfg.INPUT.FORMAT,
+        random_flip=False,
+    )
+
+    def generate():
+        rng = np.random.RandomState(0)
+        groups: Dict[tuple, List] = {}
+        for rec in dicts:
+            item = mapper(rec, rng)
+            key = item["bucket"]
+            groups.setdefault(key, []).append(item)
+            if len(groups[key]) == batch_size:
+                yield _stack_batch(groups.pop(key))
+        for key, items in groups.items():
+            while len(items) < batch_size:
+                pad = dict(items[-1])
+                pad["_pad"] = True
+                items.append(pad)
+            yield _stack_batch(items)
+
+    return _Prefetcher(generate) if prefetch else generate()

@@ -1,0 +1,132 @@
+"""Dataset mapper: file record -> fixed-shape numpy training example.
+
+Replaces defrcn/dataloader/dataset_mapper.py: reads the image, applies
+ResizeShortestEdge (multi-scale choice at train, fixed at test) and random
+horizontal flip, transforms boxes, then pads image and GT to static shapes
+(bucketed image sizes + MAX_GT slots) so every batch compiles to one of a
+handful of XLA programs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["DatasetMapper", "pick_bucket", "resize_shortest_edge_size"]
+
+
+def resize_shortest_edge_size(h, w, short, max_size):
+    """detectron2 ResizeShortestEdge.get_output_shape semantics."""
+    scale = short / min(h, w)
+    if h < w:
+        newh, neww = short, scale * w
+    else:
+        newh, neww = scale * h, short
+    if max(newh, neww) > max_size:
+        scale2 = max_size / max(newh, neww)
+        newh, neww = newh * scale2, neww * scale2
+    return int(newh + 0.5), int(neww + 0.5)
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]):
+    """Smallest bucket (by area) covering (h, w); orientation-aware (both
+    (a, b) and (b, a) are considered). Falls back to round-up-to-64."""
+    cands = []
+    for bh, bw in buckets:
+        for ch, cw in ((bh, bw), (bw, bh)):
+            if ch >= h and cw >= w:
+                cands.append((ch * cw, ch, cw))
+    if cands:
+        _, bh, bw = min(cands)
+        return bh, bw
+    up = lambda v: int(math.ceil(v / 64.0) * 64)
+    return up(h), up(w)
+
+
+class DatasetMapper:
+    def __init__(
+        self,
+        is_train: bool,
+        min_size,
+        max_size: int,
+        buckets: Sequence[Tuple[int, int]],
+        max_gt: int = 100,
+        image_format: str = "BGR",
+        random_flip: bool = True,
+        filter_difficult: bool = True,
+    ):
+        self.is_train = is_train
+        self.min_sizes = (
+            list(min_size) if isinstance(min_size, (list, tuple)) else [min_size]
+        )
+        self.max_size = max_size
+        self.buckets = list(buckets)
+        self.max_gt = max_gt
+        self.image_format = image_format
+        self.random_flip = random_flip and is_train
+        self.filter_difficult = filter_difficult
+
+    def __call__(self, record: Dict, rng: np.random.RandomState):
+        img = Image.open(record["file_name"]).convert("RGB")
+        w0, h0 = img.size
+
+        short = self.min_sizes[rng.randint(len(self.min_sizes))] if self.is_train else self.min_sizes[0]
+        h, w = resize_shortest_edge_size(h0, w0, short, self.max_size)
+        if (h, w) != (h0, w0):
+            img = img.resize((w, h), Image.BILINEAR)
+
+        arr = np.asarray(img, np.float32)
+        if self.image_format == "BGR":
+            arr = arr[:, :, ::-1]
+
+        sx, sy = w / w0, h / h0
+        annos = record.get("annotations", [])
+        boxes = np.array(
+            [a["bbox"] for a in annos], np.float32
+        ).reshape(-1, 4)
+        classes = np.array(
+            [a["category_id"] for a in annos], np.int64
+        ).reshape(-1)
+        boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+
+        flipped = False
+        if self.random_flip and rng.rand() < 0.5:
+            flipped = True
+            arr = arr[:, ::-1, :]
+            x1 = w - boxes[:, 2]
+            x2 = w - boxes[:, 0]
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
+
+        # clip + drop degenerate (detection_utils.filter_empty_instances)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, classes = boxes[keep], classes[keep]
+
+        bh, bw = pick_bucket(h, w, self.buckets)
+        padded = np.zeros((bh, bw, 3), np.float32)
+        padded[:h, :w] = arr
+
+        g = self.max_gt
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        n = min(len(boxes), g)
+        gt_boxes[:n] = boxes[:n]
+        gt_classes[:n] = classes[:n]
+        gt_valid[:n] = True
+
+        return {
+            "image": padded,
+            "hw": np.array([h, w], np.int32),
+            "orig_hw": np.array([h0, w0], np.int32),
+            "bucket": (bh, bw),
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
+            "image_id": record.get("image_id"),
+            "flipped": flipped,
+        }

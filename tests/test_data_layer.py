@@ -1,0 +1,143 @@
+"""Data layer tests against a synthetic on-disk VOC dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.config import get_cfg
+from fewshotobjectdetection_imporove_via_text_feature_tpu.data.builtin_meta import (
+    PASCAL_VOC_ALL_CATEGORIES,
+    _get_coco_fewshot_instances_meta,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.data.mapper import (
+    DatasetMapper,
+    pick_bucket,
+    resize_shortest_edge_size,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.data.meta_voc import (
+    load_filtered_voc_instances,
+)
+
+VOC_XML = """<annotation>
+  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+  {objs}
+</annotation>"""
+
+OBJ_XML = """<object>
+    <name>{name}</name><difficult>{diff}</difficult>
+    <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+  </object>"""
+
+
+def make_voc(root, n=4, year="2007"):
+    d = os.path.join(root, f"VOC{year}")
+    os.makedirs(os.path.join(d, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(d, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(d, "ImageSets", "Main"), exist_ok=True)
+    ids = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        fid = f"{i:06d}"
+        ids.append(fid)
+        w, h = 300 + 20 * i, 220 + 10 * i
+        objs = OBJ_XML.format(name="dog", diff=0, x1=10, y1=20, x2=100, y2=120)
+        objs += OBJ_XML.format(name="cat", diff=1, x1=50, y1=60, x2=200, y2=180)
+        objs += OBJ_XML.format(name="bird", diff=0, x1=5, y1=5, x2=60, y2=50)
+        with open(os.path.join(d, "Annotations", fid + ".xml"), "w") as f:
+            f.write(VOC_XML.format(w=w, h=h, objs=objs))
+        img = Image.fromarray(
+            rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        )
+        img.save(os.path.join(d, "JPEGImages", fid + ".jpg"))
+    with open(os.path.join(d, "ImageSets", "Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids))
+    return d, ids
+
+
+def test_resize_shortest_edge():
+    assert resize_shortest_edge_size(480, 640, 800, 1333) == (800, 1067)
+    # max_size clamp
+    h, w = resize_shortest_edge_size(500, 1000, 800, 1333)
+    assert w == 1333 and abs(h - 667) <= 1
+
+
+def test_pick_bucket_orientation():
+    buckets = [(800, 1344), (672, 1120)]
+    assert pick_bucket(600, 1000, buckets) == (672, 1120)
+    assert pick_bucket(1000, 600, buckets) == (1120, 672)
+    assert pick_bucket(2000, 2000, buckets) == (2048, 2048)  # fallback
+
+
+def test_load_voc_full_split(tmp_path):
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    assert len(dicts) == len(ids)
+    r = dicts[0]
+    # dog, cat, bird all in split-1 ALL classes
+    assert len(r["annotations"]) == 3
+    # VOC -1 origin shift applied
+    assert r["annotations"][0]["bbox"][0] == 9.0
+    assert r["annotations"][0]["category_id"] == classes.index("dog")
+    # difficult flag preserved for the evaluator
+    assert r["annotations"][1]["difficult"] == 1
+
+
+def test_voc_few_shot_split(tmp_path):
+    d, ids = make_voc(str(tmp_path))
+    split_dir = tmp_path / "vocsplit" / "seed0"
+    split_dir.mkdir(parents=True)
+    classes = ["dog", "cat"]
+    for cls in classes:
+        with open(split_dir / f"box_2shot_{cls}_train.txt", "w") as f:
+            for fid in ids[:3]:  # 3 candidates > 2 shots
+                f.write(f"VOC2007/JPEGImages/{fid}.jpg\n")
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_novel1_2shot_seed0",
+        d,
+        "trainval",
+        classes,
+        root=str(tmp_path),
+    )
+    # 2 shots x 2 classes, one instance per record
+    assert len(dicts) == 4
+    for r in dicts:
+        assert len(r["annotations"]) == 1
+
+
+def test_mapper_fixed_shapes(tmp_path):
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    mapper = DatasetMapper(
+        is_train=True,
+        min_size=(480,),
+        max_size=800,
+        buckets=[(480, 800)],
+        max_gt=10,
+    )
+    rng = np.random.RandomState(1)
+    item = mapper(dicts[0], rng)
+    assert item["image"].shape == (480, 800, 3)
+    assert item["gt_boxes"].shape == (10, 4)
+    assert item["gt_valid"].sum() == 3
+    h, w = item["hw"]
+    assert h <= 480 and w <= 800
+    # boxes scaled into the resized frame and inside the valid region
+    gb = item["gt_boxes"][item["gt_valid"]]
+    assert gb[:, 2].max() <= w + 1e-3
+    assert gb[:, 3].max() <= h + 1e-3
+
+
+def test_coco_meta_partition():
+    meta = _get_coco_fewshot_instances_meta()
+    assert len(meta["thing_classes"]) == 80
+    assert len(meta["novel_classes"]) == 20
+    assert len(meta["base_classes"]) == 60
+    assert set(meta["novel_classes"]) & set(meta["base_classes"]) == set()
