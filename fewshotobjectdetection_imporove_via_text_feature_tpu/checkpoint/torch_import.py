@@ -1,0 +1,234 @@
+"""Import reference-format weights (Caffe2 ``.pkl`` / detectron2 ``.pth``)
+into our flax parameter tree.
+
+Parity target: defrcn/checkpoint/detection_checkpoint.py:23-56 — the
+reference loads (a) Caffe2 ImageNet zoo files (R-101.pkl, run_voc.sh:5) with
+name-matching heuristics and (b) torch .pth checkpoints in detectron2
+naming. We translate both into our tree:
+
+  Caffe2:      conv1_w / res{S}_{B}_branch2{a,b,c}(_bn_{s,b}) / branch1
+  detectron2:  backbone.stem.conv1.weight / backbone.res2.0.conv1.norm.* /
+               proposal_generator.rpn_head.* / roi_heads.res5.* /
+               roi_heads.box_predictor.*
+
+Layout conversions: torch conv OIHW -> flax HWIO; torch Linear (out, in) ->
+flax Dense kernel (in, out); Caffe2 BN scale/bias -> FrozenBN weight/bias
+with mean 0 / var 1 (stats already folded upstream).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+from flax import traverse_util
+
+_BRANCH = {"branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3"}
+_BRANCH_BN = {"branch2a": "bn1", "branch2b": "bn2", "branch2c": "bn3"}
+
+
+def load_c2_pkl(path: str) -> Dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if "blobs" in data:
+        data = data["blobs"]
+    return {k: np.asarray(v) for k, v in data.items() if not k.endswith("_momentum")}
+
+
+def _c2_to_ours(name: str):
+    """Caffe2 blob name -> our flattened param path (tuple) + kind."""
+    # stem
+    if name == "conv1_w":
+        return ("backbone", "stem_conv1", "kernel"), "conv"
+    if name in ("res_conv1_bn_s", "conv1_bn_s"):
+        return ("backbone", "stem_bn1", "weight"), "bn"
+    if name in ("res_conv1_bn_b", "conv1_bn_b"):
+        return ("backbone", "stem_bn1", "bias"), "bn"
+    if not name.startswith("res"):
+        return None, None
+    parts = name.split("_")
+    stage = parts[0]  # res2..res5
+    block = f"block{parts[1]}"
+    branch = parts[2]
+    if stage == "res5":
+        prefix = ("roi_heads", "res5", "res5", block)
+    else:
+        prefix = ("backbone", stage, block)
+    if branch == "branch1":
+        if name.endswith("_bn_s"):
+            return prefix + ("shortcut_bn", "weight"), "bn"
+        if name.endswith("_bn_b"):
+            return prefix + ("shortcut_bn", "bias"), "bn"
+        return prefix + ("shortcut", "kernel"), "conv"
+    conv = _BRANCH.get(branch)
+    if conv is None:
+        return None, None
+    if name.endswith("_bn_s"):
+        return prefix + (_BRANCH_BN[branch], "weight"), "bn"
+    if name.endswith("_bn_b"):
+        return prefix + (_BRANCH_BN[branch], "bias"), "bn"
+    return prefix + (conv, "kernel"), "conv"
+
+
+def _d2_to_ours(name: str):
+    """detectron2 state-dict name -> our flattened path + kind."""
+    n = name
+    if n.startswith("backbone.stem.conv1."):
+        rest = n[len("backbone.stem.conv1.") :]
+        m = {
+            "weight": (("backbone", "stem_conv1", "kernel"), "conv"),
+            "norm.weight": (("backbone", "stem_bn1", "weight"), "bn"),
+            "norm.bias": (("backbone", "stem_bn1", "bias"), "bn"),
+            "norm.running_mean": (("backbone", "stem_bn1", "running_mean"), "bn"),
+            "norm.running_var": (("backbone", "stem_bn1", "running_var"), "bn"),
+        }
+        return m.get(rest, (None, None))
+
+    for src, dstp in (
+        ("backbone.", ("backbone",)),
+        ("roi_heads.res5.", ("roi_heads", "res5", "res5")),
+    ):
+        if n.startswith(src) and (
+            src != "backbone." or n.split(".")[1].startswith("res")
+        ):
+            rest = n[len(src) :].split(".")
+            if src == "backbone.":
+                stage, rest = rest[0], rest[1:]
+                prefix = dstp + (stage,)
+            else:
+                prefix = dstp
+            block, mod = f"block{rest[0]}", rest[1]
+            tail = ".".join(rest[2:])
+            mod_map = {
+                "conv1": ("conv1", "bn1"),
+                "conv2": ("conv2", "bn2"),
+                "conv3": ("conv3", "bn3"),
+                "shortcut": ("shortcut", "shortcut_bn"),
+            }
+            if mod not in mod_map:
+                return None, None
+            convn, bnn = mod_map[mod]
+            m = {
+                "weight": ((prefix + (block, convn, "kernel")), "conv"),
+                "norm.weight": ((prefix + (block, bnn, "weight")), "bn"),
+                "norm.bias": ((prefix + (block, bnn, "bias")), "bn"),
+                "norm.running_mean": ((prefix + (block, bnn, "running_mean")), "bn"),
+                "norm.running_var": ((prefix + (block, bnn, "running_var")), "bn"),
+            }
+            return m.get(tail, (None, None))
+
+    rpn_map = {
+        "proposal_generator.rpn_head.conv": ("rpn_head", "conv"),
+        "proposal_generator.rpn_head.objectness_logits": ("rpn_head", "objectness_logits"),
+        "proposal_generator.rpn_head.anchor_deltas": ("rpn_head", "anchor_deltas"),
+    }
+    for src, dst in rpn_map.items():
+        if n == src + ".weight":
+            return dst + ("kernel",), "conv"
+        if n == src + ".bias":
+            return dst + ("bias",), "plain"
+
+    lin_map = {
+        "roi_heads.box_predictor.cls_score": ("roi_heads", "box_predictor", "cls_score"),
+        "roi_heads.box_predictor.bbox_pred": ("roi_heads", "box_predictor", "bbox_pred"),
+        "roi_heads.stu_box_predictor.cls_score": ("roi_heads", "stu_box_predictor", "cls_score"),
+        "roi_heads.stu_box_predictor.bbox_pred": ("roi_heads", "stu_box_predictor", "bbox_pred"),
+    }
+    for src, dst in lin_map.items():
+        if n == src + ".weight":
+            return dst + ("kernel",), "linear"
+        if n == src + ".bias":
+            return dst + ("bias",), "plain"
+
+    if n.startswith("affine_rpn.") or n.startswith("affine_rcnn."):
+        mod, leaf = n.split(".")
+        return (mod, leaf), "affine"
+
+    return None, None
+
+
+def _convert(value: np.ndarray, kind: str) -> np.ndarray:
+    v = np.asarray(value)
+    if kind == "conv":
+        return v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if kind == "linear":
+        return v.T  # (out, in) -> (in, out)
+    if kind == "affine":
+        return v.reshape(-1)  # (1, C, 1, 1) -> (C,)
+    return v
+
+
+def apply_weight_dict(
+    params: Dict, named: Dict[str, np.ndarray], translate, strict: bool = False
+):
+    """Merge translated weights into a (nested dict) param tree."""
+    flat = traverse_util.flatten_dict(params)
+    matched, skipped = 0, []
+    for name, value in named.items():
+        path, kind = translate(name)
+        if path is None:
+            skipped.append(name)
+            continue
+        if path not in flat:
+            skipped.append(name)
+            continue
+        conv = _convert(value, kind)
+        if flat[path].shape != conv.shape:
+            if strict:
+                raise ValueError(
+                    f"{name}: shape {conv.shape} != {flat[path].shape}"
+                )
+            skipped.append(name)
+            continue
+        flat[path] = conv.astype(np.asarray(flat[path]).dtype)
+        matched += 1
+    return traverse_util.unflatten_dict(flat), matched, skipped
+
+
+def load_reference_weights(path: str, params: Dict):
+    """Load .pkl (Caffe2) / .pth (torch) / .ckpt (ours) into params."""
+    if path.endswith(".pkl"):
+        named = load_c2_pkl(path)
+        new, matched, skipped = apply_weight_dict(params, named, _c2_to_ours)
+        return new, matched, skipped
+    if path.endswith(".ckpt"):
+        import pickle as pkl
+
+        with open(path, "rb") as f:
+            state = pkl.load(f)
+        src = state["params"] if "params" in state else state
+        flat_src = traverse_util.flatten_dict(src)
+        flat_dst = traverse_util.flatten_dict(params)
+        matched = 0
+        skipped = []
+        for k, v in flat_src.items():
+            if k in flat_dst and flat_dst[k].shape == v.shape:
+                flat_dst[k] = v
+                matched += 1
+            else:
+                skipped.append("/".join(map(str, k)))
+        return traverse_util.unflatten_dict(flat_dst), matched, skipped
+    # torch .pth
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model", ckpt)
+    named = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+    return apply_weight_dict(params, named, _d2_to_ours)
+
+
+def maybe_load_reference_weights(path: str, params: Dict) -> Dict:
+    import logging
+    import os
+
+    if not path or not os.path.exists(path):
+        logging.getLogger(__name__).warning(
+            "MODEL.WEIGHTS %r not found; training from scratch", path
+        )
+        return params
+    new, matched, skipped = load_reference_weights(path, params)
+    logging.getLogger(__name__).info(
+        "Loaded %d tensors from %s (%d unmatched)", matched, path, len(skipped)
+    )
+    return new

@@ -1,0 +1,70 @@
+"""Single-image prediction API — DefaultPredictor parity
+(ref defrcn/engine/defaults.py:131-192)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..checkpoint.torch_import import maybe_load_reference_weights
+from ..data.mapper import pick_bucket, resize_shortest_edge_size
+from ..models import build_model
+from ..structures import GTInstances, ImageBatch
+
+
+class DefaultPredictor:
+    """cfg -> model + weights; __call__(image BGR HxWx3 uint8) -> dict of
+    numpy detections in original-image coordinates."""
+
+    def __init__(self, cfg, params=None):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        if params is None:
+            import jax.numpy as jnp
+
+            h, w = cfg.TPU.IMAGE_BUCKETS[0]
+            dummy = ImageBatch(
+                image=jnp.zeros((1, h, w, 3), jnp.float32),
+                hw=jnp.asarray([[h, w]], jnp.int32),
+                orig_hw=jnp.asarray([[h, w]], jnp.int32),
+            )
+            variables = jax.jit(partial(self.model.init, train=False))(
+                {"params": jax.random.PRNGKey(0)}, dummy
+            )
+            params = variables["params"]
+            if cfg.MODEL.WEIGHTS:
+                params = maybe_load_reference_weights(
+                    cfg.MODEL.WEIGHTS, params
+                )
+        self.params = params
+        self._apply = jax.jit(partial(self.model.apply, train=False))
+
+    def __call__(self, original_image: np.ndarray):
+        cfg = self.cfg
+        h0, w0 = original_image.shape[:2]
+        h, w = resize_shortest_edge_size(
+            h0, w0, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
+        )
+        from PIL import Image
+
+        img = Image.fromarray(original_image[:, :, ::-1].astype(np.uint8))
+        img = img.resize((w, h), Image.BILINEAR)
+        arr = np.asarray(img, np.float32)[:, :, ::-1]
+        bh, bw = pick_bucket(h, w, cfg.TPU.IMAGE_BUCKETS)
+        padded = np.zeros((bh, bw, 3), np.float32)
+        padded[:h, :w] = arr
+
+        batch = ImageBatch(
+            image=padded[None],
+            hw=np.asarray([[h, w]], np.int32),
+            orig_hw=np.asarray([[h0, w0]], np.int32),
+        )
+        det = self._apply({"params": self.params}, batch)
+        valid = np.asarray(det.valid[0])
+        return {
+            "boxes": np.asarray(det.boxes[0])[valid],
+            "scores": np.asarray(det.scores[0])[valid],
+            "classes": np.asarray(det.classes[0])[valid],
+        }

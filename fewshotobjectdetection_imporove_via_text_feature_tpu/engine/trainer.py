@@ -1,0 +1,178 @@
+"""Trainer — jit-compiled train step over a data mesh + hook loop.
+
+Replaces the reference's DefaultTrainer/SimpleTrainer stack
+(defrcn/engine/defaults.py:131-516): build model/optimizer/loader, resume,
+then per iteration run ONE jit-compiled fused step (forward + backward +
+SGD update) with the batch sharded over the mesh ``data`` axis. Hooks keep
+the reference's contract: IterationTimer -> LRScheduler (inside the step) ->
+periodic checkpoint -> periodic eval -> writers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..checkpoint import Checkpointer
+from ..data import build_detection_train_loader
+from ..models import build_model
+from ..parallel import get_mesh, replicate, shard_batch
+from ..solver import build_optimizer
+from ..structures import GTInstances, ImageBatch
+from ..utils.events import MetricsLogger
+
+
+def default_setup(cfg, args=None):
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+    seed = cfg.SEED if cfg.SEED > 0 else int.from_bytes(os.urandom(3), "little")
+    return seed
+
+
+def make_train_step(model, tx):
+    """Returns jit(train_step)(params, opt_state, images, gt, rng, step)."""
+
+    def train_step(params, opt_state, images, gt, rng, step):
+        step_rng = jax.random.fold_in(rng, step)
+        srng, drng = jax.random.split(step_rng)
+
+        def loss_fn(p):
+            losses = model.apply(
+                {"params": p}, images, gt, train=True,
+                rngs={"sampling": srng, "dropout": drng},
+            )
+            total = sum(losses.values())
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses["total_loss"] = total
+        return params, opt_state, losses
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end training driver (DefaultTrainer parity)."""
+
+    def __init__(self, cfg, model=None):
+        self.cfg = cfg
+        self.model = model if model is not None else build_model(cfg)
+        self.mesh = get_mesh()
+        self.seed = default_setup(cfg)
+        self.rng = jax.random.PRNGKey(self.seed)
+        self.start_iter = 0
+        self.max_iter = cfg.SOLVER.MAX_ITER
+
+        self.loader = build_detection_train_loader(cfg, seed=self.seed)
+        images, gt, _ = next(iter(self.loader))
+        self._peek = (images, gt)
+
+        init_rngs = {
+            "params": jax.random.PRNGKey(self.seed),
+            "sampling": jax.random.PRNGKey(self.seed + 1),
+            "dropout": jax.random.PRNGKey(self.seed + 2),
+        }
+        variables = jax.jit(partial(self.model.init, train=True))(
+            init_rngs,
+            jax.tree_util.tree_map(jnp.asarray, images),
+            jax.tree_util.tree_map(jnp.asarray, gt),
+        )
+        self.params = variables["params"]
+
+        if cfg.MODEL.WEIGHTS:
+            from ..checkpoint.torch_import import maybe_load_reference_weights
+
+            self.params = maybe_load_reference_weights(
+                cfg.MODEL.WEIGHTS, self.params
+            )
+
+        self.tx, self.schedule = build_optimizer(cfg, self.params)
+        self.opt_state = self.tx.init(self.params)
+
+        self.params = replicate(self.mesh, self.params)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.tx), donate_argnums=(0, 1)
+        )
+
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+        self.metrics = MetricsLogger(cfg.OUTPUT_DIR)
+        self.hooks = []
+
+    def resume_or_load(self, resume: bool = True):
+        if resume:
+            loaded = self.checkpointer.load_latest()
+            if loaded is not None:
+                self.params = replicate(self.mesh, loaded["params"])
+                if "opt_state" in loaded and loaded["opt_state"] is not None:
+                    self.opt_state = jax.tree_util.tree_map(
+                        lambda ref, new: jnp.asarray(new),
+                        self.opt_state,
+                        replicate(self.mesh, loaded["opt_state"]),
+                    )
+                self.start_iter = int(loaded.get("iteration", 0)) + 1
+
+    def train(self):
+        cfg = self.cfg
+        rng = self.rng
+        it = self.start_iter
+        data_iter = iter(self.loader)
+        t_last = time.time()
+        params = self.params
+
+        while it < self.max_iter:
+            images, gt, _ = next(data_iter)
+            images_d, gt_d = shard_batch(self.mesh, (images, gt))
+
+            params, self.opt_state, losses = self._train_step(
+                params, self.opt_state, images_d, gt_d, rng, it
+            )
+
+            if it % 20 == 0 or it == self.max_iter - 1:
+                losses = {k: float(v) for k, v in losses.items()}
+                dt = time.time() - t_last
+                t_last = time.time()
+                lr = float(self.schedule(it))
+                self.metrics.log(
+                    it,
+                    {**losses, "lr": lr, "time_per_20iter": dt},
+                )
+
+            if (
+                cfg.SOLVER.CHECKPOINT_PERIOD > 0
+                and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+            ):
+                self.save(params, it)
+
+            for hook in self.hooks:
+                hook(it, params)
+            it += 1
+
+        self.params = params
+        self.save(self.params, self.max_iter - 1, name="model_final")
+        return self.params
+
+    def save(self, params, iteration, name=None):
+        self.checkpointer.save(
+            {
+                "params": jax.device_get(params),
+                "opt_state": jax.device_get(self.opt_state),
+                "iteration": iteration,
+            },
+            name=name or f"model_{iteration:07d}",
+        )

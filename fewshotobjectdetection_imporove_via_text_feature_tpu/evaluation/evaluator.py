@@ -1,0 +1,84 @@
+"""Inference driver — loops the test loader through the jit-compiled
+inference program, with the reference's warmup-skipped timing convention
+(defrcn/evaluation/evaluator.py:82-162) and optional PCB rescoring."""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class DatasetEvaluator:
+    def reset(self):
+        pass
+
+    def process_detections(self, image_ids, boxes, scores, classes, valid):
+        raise NotImplementedError
+
+    def evaluate(self):
+        raise NotImplementedError
+
+
+def inference_on_dataset(
+    model,
+    params,
+    data_loader,
+    evaluator: Optional[DatasetEvaluator],
+    pcb=None,
+):
+    """Run inference over the loader; returns evaluator results.
+
+    model/params: flax module + params; pcb: optional
+    PrototypicalCalibrationBlock applied to each batch's detections
+    (ref evaluator.py:104-124).
+    """
+    if evaluator is not None:
+        evaluator.reset()
+
+    apply_fn = jax.jit(partial(model.apply, train=False))
+
+    num_warmup = 5
+    total_compute = 0.0
+    start_time = time.perf_counter()
+    num_images = 0
+    idx = 0
+    for images, gt, meta in data_loader:
+        t0 = time.perf_counter()
+        det = apply_fn({"params": params}, images)
+        det = jax.block_until_ready(det)
+        if pcb is not None:
+            det = pcb.execute_calibration(images, det)
+        t1 = time.perf_counter()
+        if idx >= num_warmup:
+            total_compute += t1 - t0
+
+        nvalid = meta.get("valid_count", len(meta["image_ids"]))
+        num_images += nvalid
+        if evaluator is not None:
+            evaluator.process_detections(
+                meta["image_ids"][:nvalid],
+                np.asarray(det.boxes)[:nvalid],
+                np.asarray(det.scores)[:nvalid],
+                np.asarray(det.classes)[:nvalid],
+                np.asarray(det.valid)[:nvalid],
+            )
+        idx += 1
+
+    total_time = time.perf_counter() - start_time
+    logger.info(
+        "Inference done: %d images, %.4f s/img compute (warmup-skipped), "
+        "%.4f s/img wall",
+        num_images,
+        total_compute / max(num_images - num_warmup, 1),
+        total_time / max(num_images, 1),
+    )
+    if evaluator is None:
+        return {}
+    return evaluator.evaluate()

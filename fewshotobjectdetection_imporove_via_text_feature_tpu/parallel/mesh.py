@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers — the TPU replacement for the reference's
+DDP/NCCL layer (ref defrcn/engine/defaults.py:252-258 DDP wrap, main.py:125
+launch, comm.gather in evaluators).
+
+Design per SURVEY.md §2.3/§5.8: the reference is data-parallel only, so the
+mandatory capability is a 1-D ``data`` mesh with batch-sharded inputs and
+replicated parameters; pjit inserts the gradient psum over ICI. The mesh
+helpers accept any device count (1 on the single-chip bench, N virtual CPU
+devices in tests, N chips in production).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Place a host numpy pytree with the leading axis sharded over the
+    data mesh axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree
+    )

@@ -1,0 +1,140 @@
+"""Solver schedule/masking tests and evaluator golden cases."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.config import get_cfg
+from fewshotobjectdetection_imporove_via_text_feature_tpu.solver import (
+    build_lr_scheduler,
+    build_optimizer,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.voc_eval import (
+    voc_ap,
+    voc_eval_class,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.coco_eval import (
+    evaluate_coco_detections,
+)
+
+
+def test_warmup_multistep_schedule():
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.STEPS = (100, 200)
+    cfg.SOLVER.GAMMA = 0.1
+    cfg.SOLVER.WARMUP_ITERS = 10
+    cfg.SOLVER.WARMUP_FACTOR = 0.001
+    sched = jax.jit(build_lr_scheduler(cfg))
+    vals = [float(sched(jnp.asarray(i))) for i in (0, 5, 50, 150, 250)]
+    assert np.isclose(vals[0], 0.02 * 0.001, rtol=1e-3)
+    assert vals[1] < 0.02
+    assert np.isclose(vals[2], 0.02)
+    assert np.isclose(vals[3], 0.002)
+    assert np.isclose(vals[4], 0.0002, rtol=1e-5)
+
+
+def test_optimizer_freezes_bn_and_frozen_stages():
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE_AT = 2
+    params = {
+        "backbone": {
+            "stem_conv1": {"kernel": jnp.ones((3, 3, 3, 8))},
+            "stem_bn1": {
+                "weight": jnp.ones(8),
+                "bias": jnp.zeros(8),
+                "running_mean": jnp.zeros(8),
+                "running_var": jnp.ones(8),
+            },
+            "res2": {"block0": {"conv1": {"kernel": jnp.ones((1, 1, 8, 8))}}},
+            "res3": {"block0": {"conv1": {"kernel": jnp.ones((1, 1, 8, 8))}}},
+        },
+        "rpn_head": {"conv": {"kernel": jnp.ones((3, 3, 8, 8)), "bias": jnp.zeros(8)}},
+    }
+    tx, _ = build_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen: stem (freeze_at>=1), res2 (>=2), all bn
+    assert float(jnp.abs(updates["backbone"]["stem_conv1"]["kernel"]).sum()) == 0
+    assert float(jnp.abs(updates["backbone"]["stem_bn1"]["weight"]).sum()) == 0
+    assert float(jnp.abs(updates["backbone"]["res2"]["block0"]["conv1"]["kernel"]).sum()) == 0
+    # live: res3, rpn
+    assert float(jnp.abs(updates["backbone"]["res3"]["block0"]["conv1"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(updates["rpn_head"]["conv"]["kernel"]).sum()) > 0
+
+
+def test_voc_ap_formulas():
+    rec = np.array([0.5, 1.0])
+    prec = np.array([1.0, 1.0])
+    assert np.isclose(voc_ap(rec, prec, use_07_metric=False), 1.0)
+    # 11-point: t=0..1 all have max prec 1 -> 1.0
+    assert np.isclose(voc_ap(rec, prec, use_07_metric=True), 1.0)
+
+
+def test_voc_eval_class_perfect_and_difficult():
+    gt = {
+        "img1": {
+            "bbox": np.array([[10.0, 10.0, 50.0, 50.0], [60.0, 60.0, 90.0, 90.0]]),
+            "difficult": np.array([False, True]),
+        }
+    }
+    dets = [("img1", 0.9, 10.0, 10.0, 50.0, 50.0)]
+    rec, prec, ap = voc_eval_class(dets, gt, 0.5, use_07_metric=False)
+    assert np.isclose(ap, 1.0)  # difficult GT doesn't count toward npos
+
+    # detection on difficult GT: neither tp nor fp -> still perfect
+    dets2 = dets + [("img1", 0.8, 60.0, 60.0, 90.0, 90.0)]
+    _, _, ap2 = voc_eval_class(dets2, gt, 0.5, use_07_metric=False)
+    assert np.isclose(ap2, 1.0)
+
+    # plain false positive halves precision at rank 1 but AP stays 1 since
+    # the TP comes first
+    dets3 = dets + [("img1", 0.1, 200.0, 200.0, 300.0, 300.0)]
+    _, _, ap3 = voc_eval_class(dets3, gt, 0.5, use_07_metric=False)
+    assert np.isclose(ap3, 1.0)
+
+    # duplicate detection ranked between two TPs is a FP and lowers AP
+    gt2 = {
+        "img1": {
+            "bbox": np.array([[10.0, 10.0, 50.0, 50.0]]),
+            "difficult": np.array([False]),
+        },
+        "img2": {
+            "bbox": np.array([[10.0, 10.0, 50.0, 50.0]]),
+            "difficult": np.array([False]),
+        },
+    }
+    dets4 = [
+        ("img1", 0.9, 10.0, 10.0, 50.0, 50.0),
+        ("img1", 0.85, 11.0, 11.0, 51.0, 51.0),  # duplicate -> FP
+        ("img2", 0.8, 10.0, 10.0, 50.0, 50.0),
+    ]
+    _, _, ap4 = voc_eval_class(dets4, gt2, 0.5, use_07_metric=False)
+    assert np.isclose(ap4, 0.5 * 1.0 + 0.5 * (2.0 / 3.0))
+
+
+def test_coco_eval_perfect():
+    gt = {
+        "a": [{"bbox": [10, 10, 60, 60], "category_id": 0, "iscrowd": 0}],
+        "b": [{"bbox": [20, 20, 100, 120], "category_id": 1, "iscrowd": 0}],
+    }
+    dets = {
+        "a": (np.array([[10.0, 10, 60, 60]]), np.array([0.9]), np.array([0])),
+        "b": (np.array([[20.0, 20, 100, 120]]), np.array([0.8]), np.array([1])),
+    }
+    res = evaluate_coco_detections(gt, dets, [0, 1])
+    assert np.isclose(res["AP"], 100.0)
+    assert np.isclose(res["AP50"], 100.0)
+
+
+def test_coco_eval_localization_threshold():
+    # det with IoU ~0.6: counts at IoU<=0.6 thresholds only
+    gt = {"a": [{"bbox": [0, 0, 100, 100], "category_id": 0, "iscrowd": 0}]}
+    dets = {
+        "a": (np.array([[0.0, 0, 100, 60]]), np.array([0.9]), np.array([0]))
+    }
+    res = evaluate_coco_detections(gt, dets, [0])
+    assert np.isclose(res["AP50"], 100.0)
+    assert np.isclose(res["AP75"], 0.0)
+    assert 0 < res["AP"] < 100.0
