@@ -1,0 +1,99 @@
+"""Benchmark: flagship DeFRCN-style R-101 C4 inference throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference's measurement convention (s/img with warmup
+skipped, defrcn/evaluation/evaluator.py:114-140) at the reference's test
+resolution (shortest edge 800, max 1333 -> padded 800x1344). The baseline
+divisor is the driver north star's batch-1 CPU reference point
+(BASELINE.md: ">=5x images/sec/chip vs batch-1 CPU baseline on v5e"),
+measured once with this same model on the host CPU (see CPU_BASELINE_IPS
+provenance note).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+# images/sec for the same R-101 C4 inference program, batch 1 at 800x1344,
+# on this container's host CPU (measured via
+#   JAX_PLATFORMS=cpu python bench.py --cpu-baseline
+# ). Re-measure with that flag if the model changes materially.
+CPU_BASELINE_IPS = 0.33
+
+BATCH = 8
+H, W = 800, 1344
+
+
+def make_inputs(batch):
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        ImageBatch,
+    )
+
+    rng = np.random.RandomState(0)
+    return ImageBatch(
+        image=np.asarray(rng.uniform(0, 255, (batch, H, W, 3)), np.float32),
+        hw=np.asarray([[H, W]] * batch, np.int32),
+        orig_hw=np.asarray([[H, W]] * batch, np.int32),
+    )
+
+
+def build():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models import (
+        build_model,
+    )
+
+    cfg = get_cfg()
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    model = build_model(cfg)
+    return model
+
+
+def main(cpu_baseline: bool = False):
+    batch = 1 if cpu_baseline else BATCH
+    model = build()
+    images = make_inputs(batch)
+
+    init = jax.jit(lambda r, i: model.init(r, i, train=False))
+    variables = init({"params": jax.random.PRNGKey(0)}, images)
+
+    apply_fn = jax.jit(lambda v, i: model.apply(v, i, train=False))
+    # compile + warmup
+    out = jax.block_until_ready(apply_fn(variables, images))
+    jax.block_until_ready(apply_fn(variables, images))
+
+    iters = 3 if cpu_baseline else 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = apply_fn(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    if cpu_baseline:
+        print(f"CPU baseline: {ips:.4f} images/sec (batch 1)")
+        return
+
+    print(
+        json.dumps(
+            {
+                "metric": "r101_c4_inference_throughput_800x1344",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(cpu_baseline="--cpu-baseline" in sys.argv)

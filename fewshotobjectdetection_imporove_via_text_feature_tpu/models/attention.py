@@ -1,0 +1,225 @@
+"""Attention modules for the text-feature branch — flax, fixed-shape.
+
+Spec source: defrcn/modeling/roi_heads/attentive_modules.py —
+  * ScaledDotProductAttention (:36-55) with 1/sqrt(d) temperature,
+  * FFN (:58-75): linear(d->1024) relu linear(1024->d) + residual + LN,
+  * SingleHeadSiameseAttention (:78-177): separate Q/K/V linears (no bias),
+    a learned "dummy" background token appended to K with a zero V token,
+    output = FFN(linear3(cat(linear1(out*res), linear2(res-out), res))),
+  * SematicProposalAttention (:191-294): K/V = relu(proj(class-embedding
+    bank + orthogonal bg vector)); returns attention scores + sim2stext,
+  * LV_attention (:297-437): teacher-forcing — per-ROI text feature is the
+    one-hot(gt)-indexed projected embedding; V = proj(cat(vis, text)),
+  * LV_attention_VKV (:440-487): q = v variant,
+  * LV_attention_textDomination{,_VKV} (:490-687): attention carried in
+    text space (vis projected C->300, output projected back 300->C).
+
+TPU notes: all token counts are static (ROI batch, classes+1); the QK^T /
+softmax / AV chain fuses under XLA into MXU matmuls — at these sizes
+(<=2048 x ~21..2049 tokens) a flash-style Pallas kernel buys nothing, the
+whole thing lives in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def scaled_dot_product_attention(q, k, v, temperature):
+    """q (B, Lq, D), k (B, Lk, D), v (B, Lk, D)."""
+    attn = jnp.einsum(
+        "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+    ) / temperature
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bqk,bkd->bqd", attn, v)
+    return out, attn
+
+
+class FFN(nn.Module):
+    d_model: int
+    d_ffn: int = 1024
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.d_ffn, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        return nn.LayerNorm(name="norm3")(x + h)
+
+
+class SingleHeadSiameseAttention(nn.Module):
+    """Single-head attention with a learned dummy background K token."""
+
+    d_model: int
+    init_scale: float = 0.02
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = self.d_model
+        dense = lambda name: nn.Dense(
+            d, use_bias=False,
+            kernel_init=nn.initializers.normal(self.init_scale),
+            name=name,
+        )
+        residual = q
+        qp = dense("w_q")(q)
+        kp = dense("w_k")(k)
+        vp = dense("w_v")(v)
+
+        b = q.shape[0]
+        dummy = self.param(
+            "dummy", nn.initializers.normal(1.0), (1, d)
+        )
+        dummy_k = jnp.broadcast_to(dummy[None], (b, 1, d))
+        dummy_v = jnp.zeros((b, 1, d), vp.dtype)
+        kp = jnp.concatenate([kp, dummy_k], axis=1)
+        vp = jnp.concatenate([vp, dummy_v], axis=1)
+
+        out, attn = scaled_dot_product_attention(
+            qp, kp, vp, temperature=float(np.sqrt(d))
+        )
+
+        o1 = nn.relu(
+            nn.Dense(d // 2,
+                     kernel_init=nn.initializers.normal(self.init_scale),
+                     name="linear1")(out * residual)
+        )
+        o2 = nn.relu(
+            nn.Dense(d // 2,
+                     kernel_init=nn.initializers.normal(self.init_scale),
+                     name="linear2")(residual - out)
+        )
+        merged = nn.Dense(
+            d, kernel_init=nn.initializers.normal(self.init_scale),
+            name="linear3",
+        )(jnp.concatenate([o1, o2, residual], axis=-1))
+        return FFN(d, name="ffn")(merged), attn
+
+
+class SematicProposalAttention(nn.Module):
+    """ROI features attend over the (classes + orthogonal-bg) embedding
+    bank; returns (attn_scores, {'sim2stext', 'text_feat'})."""
+
+    input_size: int
+    class_embed: np.ndarray  # (C, sem_dim) — static bank
+    bg_embed: np.ndarray     # (1, sem_dim)
+
+    @nn.compact
+    def __call__(self, visual_feat):
+        bank = jnp.concatenate(
+            [
+                jnp.asarray(self.class_embed, jnp.float32),
+                jnp.asarray(self.bg_embed, jnp.float32),
+            ],
+            axis=0,
+        )  # (C+1, sem)
+        residual_text = bank
+
+        k = nn.relu(nn.Dense(self.input_size, name="key_projection")(bank))
+        v = nn.relu(nn.Dense(self.input_size, name="value_projection")(bank))
+
+        sim2stext, attn = SingleHeadSiameseAttention(
+            self.input_size, name="attention"
+        )(visual_feat[None], k[None], v[None])
+        sim2stext = nn.relu(sim2stext[0])
+        return attn, {"sim2stext": sim2stext, "text_feat": residual_text}
+
+
+class LVAttention(nn.Module):
+    """Teacher attention: per-ROI text feature selected by the GT label
+    (teacher forcing), V = proj(cat(vis, text)). Ref :297-437."""
+
+    input_size: int
+    class_embed: np.ndarray  # (C, text_dim)
+    text_dim: int = 300
+    vkv: bool = False  # q = v variant (ref :440-487)
+
+    @nn.compact
+    def __call__(self, visual_feat, gt_classes):
+        c, text_dim = self.class_embed.shape
+        w_bg = self.param(
+            "w_bg", nn.initializers.normal(1.0), (1, text_dim)
+        )
+        embed = jnp.concatenate(
+            [jnp.asarray(self.class_embed, jnp.float32), w_bg], axis=0
+        )  # (C+1, text_dim)
+        embed = nn.Dense(self.input_size, name="proj2")(embed)
+
+        label = jnp.clip(gt_classes, 0, c)  # ignore rows -> bg bucket
+        text_feat = embed[label]  # (N, input_size)
+
+        value = nn.Dense(self.input_size, name="proj_k")(
+            jnp.concatenate([visual_feat, text_feat], axis=-1)
+        )
+        text_feat = nn.relu(text_feat)
+        value = nn.relu(value)
+
+        q = value[None] if self.vkv else visual_feat[None]
+        sim2stext, _ = SingleHeadSiameseAttention(
+            self.input_size, name="attention"
+        )(q, text_feat[None], value[None])
+        sim2stext = nn.relu(sim2stext[0])
+        return {}, {"sim2stext": sim2stext, "text_feat": text_feat}
+
+
+class LVAttentionTextDomination(nn.Module):
+    """Attention carried in text space: vis C->300, out 300->C.
+    Ref :490-687."""
+
+    input_size: int
+    class_embed: np.ndarray
+    text_dim: int = 300
+    vkv: bool = False
+
+    @nn.compact
+    def __call__(self, visual_feat, gt_classes):
+        c, text_dim = self.class_embed.shape
+        vis_t = nn.Dense(text_dim, name="proj_visual")(visual_feat)
+
+        w_bg = self.param(
+            "w_bg", nn.initializers.normal(1.0), (1, text_dim)
+        )
+        embed = jnp.concatenate(
+            [jnp.asarray(self.class_embed, jnp.float32), w_bg], axis=0
+        )
+        label = jnp.clip(gt_classes, 0, c)
+        text_feat = embed[label]  # (N, text_dim)
+
+        value = nn.Dense(text_dim, name="proj_value")(
+            jnp.concatenate([vis_t, text_feat], axis=-1)
+        )
+        text_feat = nn.relu(text_feat)
+        value = nn.relu(value)
+
+        q = value[None] if self.vkv else vis_t[None]
+        sim2stext, _ = SingleHeadSiameseAttention(
+            text_dim, name="attention"
+        )(q, text_feat[None], value[None])
+        sim2stext = nn.relu(sim2stext[0])
+        sim2stext = nn.Dense(self.input_size, name="proj2")(sim2stext)
+        return {}, {"sim2stext": sim2stext, "text_feat": text_feat}
+
+
+def loss_fn_kd_only(
+    student_logits, labels, bg_label, teacher_logits, temperature, alpha=1.0,
+    valid=None,
+):
+    """KL distillation with 1.5x weight on background rows
+    (ref my_module.py:408-437)."""
+    t = temperature
+    logp_s = jax.nn.log_softmax(student_logits / t, axis=1)
+    p_t = jax.nn.softmax(teacher_logits / t, axis=1)
+    logp_t = jax.nn.log_softmax(teacher_logits / t, axis=1)
+    kl = jnp.sum(p_t * (logp_t - logp_s), axis=1)  # (N,)
+    kl = jnp.where(labels == bg_label, kl * 1.5, kl)
+    if valid is not None:
+        kl = jnp.where(valid, kl, 0.0)
+        denom = jnp.maximum(jnp.sum(valid), 1)
+    else:
+        denom = labels.shape[0]
+    return jnp.sum(kl) / denom * t * t * alpha

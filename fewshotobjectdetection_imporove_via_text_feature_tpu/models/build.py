@@ -64,8 +64,38 @@ def _common_kwargs(cfg):
         test_candidate_topk=cfg.TPU.MAX_DETECTIONS_PRE_NMS,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        roi_heads_name=cfg.MODEL.ROI_HEADS.NAME,
+        freeze_attention=cfg.MODEL.ADDITION.FREEZEATTENTION,
+        l2_cosine=cfg.MODEL.ROI_HEADS.L2_COSINE,
+        kl_temp=float(cfg.MODEL.ROI_HEADS.KL_TEMP),
         dtype=dtype,
+        **_text_head_kwargs(cfg),
     )
+
+
+def _text_head_kwargs(cfg):
+    """Attach the class-embedding bank when the selected ROI head needs it."""
+    name = cfg.MODEL.ROI_HEADS.NAME
+    if name == "Res5ROIHeads" and cfg.MODEL.META_ARCHITECTURE == "GeneralizedRCNN":
+        return {}
+    from ..utils.class_embedding import (
+        create_normalized_orthogonal_tensor,
+        get_class_embed,
+    )
+    from ..utils.class_name import get_class_name
+
+    model = cfg.MODEL.ADDITION.NAME
+    if model in (None, "none", ""):
+        model = "glove"
+    try:
+        names = get_class_name(cfg)
+    except (ValueError, IndexError):
+        return {}
+    bank = get_class_embed(
+        names, model, root=cfg.MODEL.ADDITION.EMBEDDING_PATH
+    )
+    bg = create_normalized_orthogonal_tensor(bank.mean(axis=0))
+    return {"class_embed": bank, "bg_embed": bg}
 
 
 @register_meta_arch("GeneralizedRCNN")

@@ -94,6 +94,13 @@ class GeneralizedRCNN(nn.Module):
     # pixel stats (BGR / Caffe2)
     pixel_mean: Tuple[float, float, float] = (103.530, 116.280, 123.675)
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # ROI-heads selection (ref cfg.MODEL.ROI_HEADS.NAME) + text-branch knobs
+    roi_heads_name: str = "Res5ROIHeads"
+    class_embed: Any = None      # np (C, sem_dim) bank for text heads
+    bg_embed: Any = None         # np (1, sem_dim) for SematicProposalAttention
+    freeze_attention: bool = False
+    l2_cosine: bool = False
+    kl_temp: float = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -115,7 +122,7 @@ class GeneralizedRCNN(nn.Module):
     def build_roi_heads(self):
         from .backbone import RESNET_STAGES
 
-        return Res5ROIHeads(
+        common = dict(
             num_classes=self.num_classes,
             res2_out_channels=self.res2_out_channels,
             width_per_group=self.width_per_group,
@@ -125,6 +132,35 @@ class GeneralizedRCNN(nn.Module):
             dropout_ratio=self.dropout_ratio,
             dtype=self.dtype,
         )
+        name = self.roi_heads_name
+        if name == "Res5ROIHeads":
+            return Res5ROIHeads(**common)
+
+        from .text_heads import SematicRes5ROIHeads, TextRes5ROIHeads
+
+        if name in ("SematicRes5ROIHeads", "SematicRes5ROIHeadsCrossOutput"):
+            return SematicRes5ROIHeads(
+                class_embed=self.class_embed,
+                bg_embed=self.bg_embed,
+                freeze_attention=self.freeze_attention,
+                cross_output=name.endswith("CrossOutput"),
+                **common,
+            )
+        text_kinds = {
+            "TextRes5ROIHeads": "lv",
+            "TextRes5ROIHeads_VKV": "lv_vkv",
+            "TextRes5ROIHeads_textDomination": "text_dom",
+            "TextRes5ROIHeads_textDomination_VKV": "text_dom_vkv",
+        }
+        if name in text_kinds:
+            return TextRes5ROIHeads(
+                class_embed=self.class_embed,
+                attention_kind=text_kinds[name],
+                l2_cosine=self.l2_cosine,
+                kl_temp=self.kl_temp,
+                **common,
+            )
+        raise KeyError(f"Unknown ROI_HEADS.NAME {name!r}")
 
     # ------------------------------------------------------------------
     def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
@@ -237,21 +273,38 @@ class GeneralizedRCNN(nn.Module):
         return losses
 
     def roi_losses(self, feat_rcnn, sampled) -> Dict[str, jnp.ndarray]:
-        scores, deltas = self.roi_heads(
-            feat_rcnn, sampled["boxes"], train=True
-        )
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        return fast_rcnn_losses(
-            scores,
-            deltas,
-            flat(sampled["boxes"]),
-            flat(sampled["gt_boxes"]),
-            flat(sampled["gt_classes"]),
-            flat(sampled["valid"]),
-            num_classes=self.num_classes,
-            box_reg_weights=self.box_reg_weights,
-            smooth_l1_beta=self.smooth_l1_beta,
+        gt_classes = flat(sampled["gt_classes"])
+        valid = flat(sampled["valid"])
+        scores, deltas, aux = self.roi_heads(
+            feat_rcnn, sampled["boxes"], train=True,
+            gt_classes=gt_classes, valid=valid,
         )
+
+        def det_losses(s, d):
+            return fast_rcnn_losses(
+                s, d,
+                flat(sampled["boxes"]),
+                flat(sampled["gt_boxes"]),
+                gt_classes,
+                valid,
+                num_classes=self.num_classes,
+                box_reg_weights=self.box_reg_weights,
+                smooth_l1_beta=self.smooth_l1_beta,
+            )
+
+        losses = det_losses(scores, deltas)
+        # teacher branch: its own detection losses with the _t suffix
+        # (ref roi_heads.py:818-826)
+        if "teacher_scores" in aux:
+            t = det_losses(
+                aux.pop("teacher_scores"), aux.pop("teacher_deltas")
+            )
+            losses.update({k + "_t": v for k, v in t.items()})
+        # remaining aux entries are scalar losses (loss_kl,
+        # loss_student_feat, loss_attentive, ...)
+        losses.update(aux)
+        return losses
 
     def forward_inference(
         self, images: ImageBatch, gt: Optional[GTInstances] = None
@@ -260,7 +313,7 @@ class GeneralizedRCNN(nn.Module):
         feat_rpn, feat_rcnn = self.branch_features(feat)
         _, _, _, proposals = self.run_rpn(feat_rpn, images, train=False)
 
-        scores, deltas = self.roi_heads(
+        scores, deltas, _ = self.roi_heads(
             feat_rcnn, proposals.boxes, train=False
         )
         b, p = proposals.boxes.shape[:2]

@@ -93,6 +93,7 @@ class Res5ROIHeads(nn.Module):
     cls_agnostic_bbox_reg: bool = False
     cls_dropout: bool = False
     dropout_ratio: float = 0.8
+    roi_chunk: int = 256  # ROIs per image processed per unrolled chunk
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -110,19 +111,47 @@ class Res5ROIHeads(nn.Module):
         )
 
     def pooled_features(self, features: jnp.ndarray, boxes: jnp.ndarray):
-        """features (B, H, W, C); boxes (B, S, 4) -> (B*S, 2048) pooled."""
-        b, s = boxes.shape[:2]
-        pooled = jax.vmap(
-            lambda f, bx: roi_align(
-                f, bx, self.pooler_resolution, self.pooler_scale,
-                self.sampling_ratio,
-            )
-        )(features, boxes)  # (B, S, 7, 7, C)
-        pooled = pooled.reshape(b * s, *pooled.shape[2:]).astype(self.dtype)
-        x = self.res5(pooled)  # (B*S, 4, 4, 2048)
-        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (B*S, 2048)
+        """features (B, H, W, C); boxes (B, S, 4) -> (B*S, 2048) pooled.
 
-    def __call__(self, features, boxes, *, train: bool = False):
+        The ROIAlign -> res5 -> mean-pool pipeline is chunked over ROI
+        blocks: chunk intermediates have disjoint liveness, so peak HBM is
+        O(B * chunk * 7*7*C) instead of O(B * S * 7*7*C).
+        """
+        b, s = boxes.shape[:2]
+        chunk = self.roi_chunk if self.roi_chunk > 0 else s
+        chunk = min(chunk, s)
+        outs = []
+        for start in range(0, s, chunk):
+            bx = boxes[:, start : start + chunk]
+            pooled = jax.vmap(
+                lambda f, bb: roi_align(
+                    f, bb, self.pooler_resolution, self.pooler_scale,
+                    self.sampling_ratio,
+                )
+            )(features, bx)  # (B, c, 7, 7, C)
+            pooled = pooled.reshape(
+                b * bx.shape[1], *pooled.shape[2:]
+            ).astype(self.dtype)
+            x = self.res5(pooled)  # (B*c, 4, 4, 2048)
+            outs.append(
+                jnp.mean(x.astype(jnp.float32), axis=(1, 2)).reshape(
+                    b, bx.shape[1], -1
+                )
+            )
+        out = jnp.concatenate(outs, axis=1)  # (B, S, 2048)
+        return out.reshape(b * s, -1)
+
+    def __call__(
+        self,
+        features,
+        boxes,
+        *,
+        train: bool = False,
+        gt_classes=None,
+        valid=None,
+    ):
+        """Returns (scores, deltas, aux) — aux carries head-specific extra
+        losses/outputs (empty for the plain Res5 head)."""
         feat = self.pooled_features(features, boxes)
         scores, deltas = self.box_predictor(feat, train=train)
-        return scores, deltas
+        return scores, deltas, {}

@@ -1,0 +1,474 @@
+"""Text-feature branch: semantic/teacher-student ROI heads and the
+text-fused meta-architectures.
+
+Spec sources (behavior actually exercised by the reference run scripts,
+per SURVEY.md §1 — broken/dead branches are fixed, each deviation noted):
+
+  * SematicRes5ROIHeads(+CrossOutput)  — roi_heads.py:921-1172: attention
+    over pooled ROI features vs the class-embedding bank, CE loss on the
+    attention scores vs gt class, attended features routed to the cls head.
+  * TextRes5ROIHeads(+_VKV, _textDomination, _textDomination_VKV) —
+    roi_heads.py:529-919: teacher = LV_attention (gt-forced text) +
+    box_predictor(feat, sim2stext); student = MLP adapter + stu predictor +
+    L2/cosine feature distill + KL logit distill. The reference's
+    inference branch crashes on an undefined name (roi_heads.py:830-836);
+    we implement the intent: student-only inference.
+  * GeneralizedSemanticRCNN — rcnn.py:121-206: paints per-pixel class
+    embedding maps inside GT boxes (bg = learned vector), projects
+    sem->vis with a 1x1 conv and REPLACES the backbone features.
+  * GeneralizedDistillatedRCNN(+Adding) — rcnn.py:209-357: multi-scale
+    vis->sem MSE distillation on res2..res4 (loss_rpn_{scale}).
+  * GeneralizedTextRCNN / GeneralizedTextAttRCNN — rcnn.py:359-520:
+    concat text map with features + linear proj to RPN input; Att variant
+    runs SingleHeadSiameseAttention over H*W pixel tokens.
+
+TPU re-design: semantic-map painting is a vectorized "last-GT-wins"
+rasterization (vs the reference's per-box Python loop); everything stays
+fixed-shape and vmapped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..structures import GTInstances, ImageBatch
+from .attention import (
+    LVAttention,
+    LVAttentionTextDomination,
+    SematicProposalAttention,
+    SingleHeadSiameseAttention,
+    loss_fn_kd_only,
+)
+from .build import META_ARCH_REGISTRY, _common_kwargs, register_meta_arch
+from .fast_rcnn import FastRCNNOutputLayers, fast_rcnn_inference, fast_rcnn_losses
+from .meta_arch import GeneralizedRCNN
+from .roi_heads import Res5ROIHeads
+
+
+# --------------------------------------------------------------------------
+# Semantic map painting (batched rasterization)
+# --------------------------------------------------------------------------
+def paint_semantic_map(
+    gt: GTInstances,
+    embeddings: jnp.ndarray,  # (C, sem)
+    bg_vector: jnp.ndarray,   # (sem,) or (1, sem)
+    feat_hw: Tuple[int, int],
+    stride: int = 16,
+):
+    """(B, H, W, sem) map: pixels inside a GT box get that class's
+    embedding (later GT index wins ties, matching the reference's
+    sequential overwrite, rcnn.py:198-201); everything else bg."""
+    h, w = feat_hw
+    bg = jnp.reshape(bg_vector, (-1,))
+
+    def per_image(boxes, classes, valid):
+        x1 = jnp.floor(boxes[:, 0] / stride)
+        y1 = jnp.floor(boxes[:, 1] / stride)
+        x2 = jnp.floor(boxes[:, 2] / stride)
+        y2 = jnp.floor(boxes[:, 3] / stride)
+        xs = jnp.arange(w, dtype=boxes.dtype)
+        ys = jnp.arange(h, dtype=boxes.dtype)
+        in_x = (xs[None, :] >= x1[:, None]) & (xs[None, :] < x2[:, None])
+        in_y = (ys[None, :] >= y1[:, None]) & (ys[None, :] < y2[:, None])
+        inside = (
+            in_y[:, :, None] & in_x[:, None, :] & valid[:, None, None]
+        )  # (G, H, W)
+        g = boxes.shape[0]
+        gt_rank = jnp.arange(1, g + 1)[:, None, None]
+        winner = jnp.max(jnp.where(inside, gt_rank, 0), axis=0)  # (H, W)
+        cls = jnp.clip(classes, 0, embeddings.shape[0] - 1)
+        cls_map = jnp.where(
+            winner > 0, cls[jnp.clip(winner - 1, 0, g - 1)], 0
+        )
+        fg = embeddings[cls_map]  # (H, W, sem)
+        return jnp.where((winner > 0)[..., None], fg, bg[None, None, :])
+
+    return jax.vmap(per_image)(gt.boxes, gt.classes, gt.valid)
+
+
+# --------------------------------------------------------------------------
+# ROI heads
+# --------------------------------------------------------------------------
+class SematicRes5ROIHeads(Res5ROIHeads):
+    """Res5 head + SematicProposalAttention with CE attention loss."""
+
+    class_embed: Any = None   # np (C, sem)
+    bg_embed: Any = None      # np (1, sem)
+    freeze_attention: bool = False
+    cross_output: bool = False  # SematicRes5ROIHeadsCrossOutput variant
+
+    def setup(self):
+        super().setup()
+        self.attention = SematicProposalAttention(
+            input_size=self.res2_out_channels * 8,
+            class_embed=self.class_embed,
+            bg_embed=self.bg_embed,
+        )
+        sem_dim = self.class_embed.shape[1]
+        self.output_projection = nn.Dense(sem_dim)
+
+    def forward_att(self, feature_pooled, *, train: bool):
+        attn, out = self.attention(feature_pooled)
+        if self.freeze_attention:
+            out = jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+            attn = jax.lax.stop_gradient(attn)
+        if self.cross_output:
+            # attended features projected to text space, scored against the
+            # bank -> those scores feed the cls head (ref :1154-1171)
+            att_feat = nn.relu(self.output_projection(out["sim2stext"]))
+            att_scores = att_feat @ out["text_feat"].T  # (N, C+1)
+            scores, deltas = self.box_predictor(
+                feature_pooled, att_scores, train=train
+            )
+        else:
+            scores, deltas = self.box_predictor(
+                feature_pooled, out["sim2stext"], train=train
+            )
+        return scores, deltas, attn, out
+
+    def __call__(self, features, boxes, *, train: bool = False,
+                 gt_classes=None, valid=None):
+        feat = self.pooled_features(features, boxes)
+        scores, deltas, attn, out = self.forward_att(feat, train=train)
+        aux = {}
+        if train and gt_classes is not None and not self.cross_output:
+            # CE on the attention distribution vs gt class (ref :1073-1081)
+            logits = attn[0]  # (N, C+1) attention scores
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            safe = jnp.clip(gt_classes, 0, logits.shape[-1] - 1)
+            ce = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+            if valid is not None:
+                ce = jnp.where(valid, ce, 0.0)
+                denom = jnp.maximum(jnp.sum(valid), 1)
+            else:
+                denom = ce.shape[0]
+            aux["loss_attentive"] = jnp.sum(ce) / denom
+        return scores, deltas, aux
+
+
+class TextRes5ROIHeads(Res5ROIHeads):
+    """Teacher/student dual-predictor head with text-guided teacher."""
+
+    class_embed: Any = None  # np (C, text_dim)
+    attention_kind: str = "lv"  # lv | lv_vkv | text_dom | text_dom_vkv
+    distill_l2: bool = True
+    l2_cosine: bool = False
+    kl_temp: float = 1.0
+
+    def setup(self):
+        super().setup()
+        c = self.res2_out_channels * 8  # 2048
+        kind = self.attention_kind
+        if kind in ("lv", "lv_vkv"):
+            self.attention = LVAttention(
+                input_size=c, class_embed=self.class_embed,
+                vkv=kind == "lv_vkv",
+            )
+        else:
+            self.attention = LVAttentionTextDomination(
+                input_size=c, class_embed=self.class_embed,
+                vkv=kind == "text_dom_vkv",
+            )
+        self.stu_box_predictor = FastRCNNOutputLayers(
+            num_classes=self.num_classes,
+            cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            cls_dropout=self.cls_dropout,
+            dropout_ratio=self.dropout_ratio,
+        )
+        self.mlp_adapter = nn.Sequential(
+            [
+                nn.Dense(c // 2),
+                nn.relu,
+                nn.Dense(c),
+                nn.relu,
+            ]
+        )
+
+    def forward_teacher(self, feature_pooled, gt_classes, *, train: bool):
+        loss_att, out = self.attention(feature_pooled, gt_classes)
+        scores, deltas = self.box_predictor(
+            feature_pooled, out["sim2stext"], train=train
+        )
+        return scores, deltas, out, loss_att
+
+    def forward_student(
+        self, feature_pooled, teacher_out, gt_classes, valid, *, train: bool
+    ):
+        feat = self.mlp_adapter(feature_pooled)
+        losses = {}
+        if train and teacher_out is not None and self.distill_l2:
+            t_feat = jax.lax.stop_gradient(teacher_out["sim2stext"])
+            if self.l2_cosine:
+                nf = feat / jnp.maximum(
+                    jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-8
+                )
+                nt = t_feat / jnp.maximum(
+                    jnp.linalg.norm(t_feat, axis=-1, keepdims=True), 1e-8
+                )
+                per = 1.0 - jnp.sum(nf * nt, axis=-1)
+            else:
+                per = jnp.mean((feat - t_feat) ** 2, axis=-1)
+            if valid is not None:
+                per = jnp.where(valid, per, 0.0)
+                losses["loss_student_feat"] = jnp.sum(per) / jnp.maximum(
+                    jnp.sum(valid), 1
+                )
+            else:
+                losses["loss_student_feat"] = jnp.mean(per)
+        scores, deltas = self.stu_box_predictor(
+            feature_pooled, feat, train=train
+        )
+        return scores, deltas, losses
+
+    def __call__(self, features, boxes, *, train: bool = False,
+                 gt_classes=None, valid=None):
+        feat = self.pooled_features(features, boxes)
+        if not train:
+            s_scores, s_deltas, _ = self.forward_student(
+                feat, None, None, None, train=False
+            )
+            return s_scores, s_deltas, {}
+        t_scores, t_deltas, t_out, _ = self.forward_teacher(
+            feat, gt_classes, train=True
+        )
+        s_scores, s_deltas, s_losses = self.forward_student(
+            feat, t_out, gt_classes, valid, train=True
+        )
+        s_losses["loss_kl"] = loss_fn_kd_only(
+            s_scores,
+            gt_classes,
+            self.num_classes,
+            jax.lax.stop_gradient(t_scores),
+            temperature=self.kl_temp,
+            valid=valid,
+        )
+        return (
+            s_scores,
+            s_deltas,
+            {
+                "teacher_scores": t_scores,
+                "teacher_deltas": t_deltas,
+                **s_losses,
+            },
+        )
+
+
+# --------------------------------------------------------------------------
+# Meta architectures
+# --------------------------------------------------------------------------
+class GeneralizedSemanticRCNN(GeneralizedRCNN):
+    """Replaces backbone features with projected semantic maps
+    (ref rcnn.py:121-206)."""
+
+    class_embed: Any = None  # np (C, sem)
+    semantic_dim: int = 300
+
+    def setup(self):
+        super().setup()
+        self.bg_feature = self.param(
+            "bg_feature", nn.initializers.normal(1.0), (1, self.semantic_dim)
+        )
+        self.sem2vis_proj = nn.Dense(
+            self.res2_out_channels * 4, use_bias=False, name="sem2vis_proj"
+        )
+
+    def compute_features(self, images, gt=None):
+        feat, feats = super().compute_features(images)
+        if gt is not None and self.class_embed is not None:
+            sem = paint_semantic_map(
+                gt,
+                jnp.asarray(self.class_embed, jnp.float32),
+                self.bg_feature,
+                (feat.shape[1], feat.shape[2]),
+                stride=self.anchor_stride,
+            )
+            feat = self.sem2vis_proj(sem).astype(feat.dtype)
+        return feat, feats
+
+    def forward_train(self, images, gt):
+        # identical flow; compute_features consumes gt
+        feat, _ = self.compute_features(images, gt)
+        return self._train_tail(feat, images, gt)
+
+    # split the parent's training tail so subclasses can reuse it
+    def _train_tail(self, feat, images, gt, extra_losses=None):
+        feat_rpn, feat_rcnn = self.branch_features(feat)
+        logits, deltas, anchors, proposals = self.run_rpn(
+            feat_rpn, images, train=True
+        )
+        from .rpn import label_and_sample_anchors, rpn_losses
+        from .roi_heads import label_and_sample_proposals
+
+        key = self.make_rng("sampling")
+        b = images.image.shape[0]
+        keys = jax.random.split(key, b + 1)
+        gt_labels, matched = jax.vmap(
+            lambda k, g: label_and_sample_anchors(
+                k, anchors, g,
+                batch_size_per_image=self.rpn_batch_per_image,
+                positive_fraction=self.rpn_positive_fraction,
+            )
+        )(keys[1:], gt)
+        losses = rpn_losses(
+            logits, deltas, anchors, gt_labels, matched,
+            batch_size_per_image=self.rpn_batch_per_image,
+        )
+        roi_keys = jax.random.split(keys[0], b)
+        sampled = jax.vmap(
+            lambda k, p, g: label_and_sample_proposals(
+                k, p, g,
+                batch_size_per_image=self.roi_batch_per_image,
+                positive_fraction=self.roi_positive_fraction,
+                num_classes=self.num_classes,
+                iou_threshold=self.roi_iou_threshold,
+            )
+        )(roi_keys, proposals, gt)
+        losses.update(self.roi_losses(feat_rcnn, sampled))
+        if extra_losses:
+            losses.update(extra_losses)
+        return losses
+
+
+class GeneralizedDistillatedRCNN(GeneralizedSemanticRCNN):
+    """Multi-scale vis->sem MSE distillation on res2..res4
+    (ref rcnn.py:209-321); detection path uses raw res4 features."""
+
+    adding_variant: bool = False  # GeneralizedDistillatedAddingRCNN
+
+    def setup(self):
+        super().setup()
+        self.vis2sem_proj = {
+            scale: nn.Dense(self.semantic_dim, name=f"vis2sem_{scale}")
+            for scale in ("res2", "res3", "res4")
+        }
+
+    def forward_train(self, images, gt):
+        feat, feats = GeneralizedRCNN.compute_features(self, images)
+        strides = {"res2": 4, "res3": 8, "res4": 16}
+        kd = {}
+        for scale in ("res2", "res3", "res4"):
+            f = feats[scale]
+            sem = paint_semantic_map(
+                gt,
+                jnp.asarray(self.class_embed, jnp.float32),
+                self.bg_feature,
+                (f.shape[1], f.shape[2]),
+                stride=strides[scale],
+            )
+            proj = self.vis2sem_proj[scale](f.astype(jnp.float32))
+            kd[f"loss_rpn_{scale}"] = jnp.mean((proj - sem) ** 2)
+        return self._train_tail(feat, images, gt, extra_losses=kd)
+
+
+class GeneralizedTextRCNN(GeneralizedRCNN):
+    """Concat text-embedding map with features + linear proj to RPN input
+    (ref rcnn.py:359-452)."""
+
+    class_embed: Any = None  # np (C, sem)
+    semantic_dim: int = 300
+
+    def setup(self):
+        super().setup()
+        c4 = self.res2_out_channels * 4
+        self.bg_feature = self.param(
+            "bg_feature", nn.initializers.normal(1.0), (1, self.semantic_dim)
+        )
+        self.to_rpn_input_proj = nn.Dense(c4, name="to_rpn_input_proj")
+
+    def fuse_text(self, feat, gt):
+        sem = paint_semantic_map(
+            gt,
+            jnp.asarray(self.class_embed, jnp.float32),
+            self.bg_feature,
+            (feat.shape[1], feat.shape[2]),
+            stride=self.anchor_stride,
+        )
+        fused = jnp.concatenate(
+            [feat.astype(jnp.float32), sem], axis=-1
+        )
+        return self.to_rpn_input_proj(fused).astype(feat.dtype)
+
+    def compute_features(self, images, gt=None):
+        feat, feats = super().compute_features(images)
+        if gt is not None:
+            feat = self.fuse_text(feat, gt)
+        return feat, feats
+
+    def forward_train(self, images, gt):
+        feat, _ = self.compute_features(images, gt)
+        return GeneralizedSemanticRCNN._train_tail(self, feat, images, gt)
+
+
+class GeneralizedTextAttRCNN(GeneralizedTextRCNN):
+    """Pixel-token attention fusion (ref rcnn.py:454-520): q = vis tokens,
+    k = projected text map tokens, v = proj(cat(vis, text))."""
+
+    def setup(self):
+        super().setup()
+        c4 = self.res2_out_channels * 4
+        self.LtoVproj = nn.Dense(c4, name="LtoVproj")
+        self.attproj = nn.Dense(c4, name="attproj")
+        self.pixel_attention = SingleHeadSiameseAttention(
+            c4, name="pixel_attention"
+        )
+
+    def fuse_text(self, feat, gt):
+        b, h, w, c = feat.shape
+        sem = paint_semantic_map(
+            gt,
+            jnp.asarray(self.class_embed, jnp.float32),
+            self.bg_feature,
+            (h, w),
+            stride=self.anchor_stride,
+        )
+        text = self.LtoVproj(sem)  # (B, H, W, C)
+        vis = feat.astype(jnp.float32)
+        value = self.attproj(jnp.concatenate([vis, text], axis=-1))
+        q = vis.reshape(b, h * w, c)
+        k = text.reshape(b, h * w, c)
+        v = value.reshape(b, h * w, c)
+        out, _ = self.pixel_attention(q, k, v)
+        return out.reshape(b, h, w, c).astype(feat.dtype)
+
+
+# --------------------------------------------------------------------------
+# Registry entries — the embedding bank is injected by _common_kwargs
+# (build.py _text_head_kwargs) for every non-plain meta-arch.
+# --------------------------------------------------------------------------
+def _build_variant(cls, cfg, **extra):
+    kw = _common_kwargs(cfg)
+    bank = kw.get("class_embed")
+    sem_dim = bank.shape[1] if bank is not None else cfg.MODEL.ADDITION.SEMANTIC_DIM
+    return cls(semantic_dim=sem_dim, **extra, **kw)
+
+
+@register_meta_arch("GeneralizedSemanticRCNN")
+def _build_semantic(cfg):
+    return _build_variant(GeneralizedSemanticRCNN, cfg)
+
+
+@register_meta_arch("GeneralizedDistillatedRCNN")
+def _build_distillated(cfg):
+    return _build_variant(GeneralizedDistillatedRCNN, cfg)
+
+
+@register_meta_arch("GeneralizedDistillatedAddingRCNN")
+def _build_distillated_adding(cfg):
+    return _build_variant(
+        GeneralizedDistillatedRCNN, cfg, adding_variant=True
+    )
+
+
+@register_meta_arch("GeneralizedTextRCNN")
+def _build_text(cfg):
+    return _build_variant(GeneralizedTextRCNN, cfg)
+
+
+@register_meta_arch("GeneralizedTextAttRCNN")
+def _build_text_att(cfg):
+    return _build_variant(GeneralizedTextAttRCNN, cfg)

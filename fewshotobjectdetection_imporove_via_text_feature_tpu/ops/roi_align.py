@@ -58,17 +58,20 @@ def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     x1i = x1.astype(jnp.int32)
 
     flat = feat.reshape(h * w, -1)
+    # Keep the big gathered intermediates in the feature dtype (bf16 on the
+    # production path) — upcasting them to f32 quadruples peak HBM.
+    dt = feat.dtype
 
     def take(yi, xi):
         return flat[yi * w + xi]  # gather: (..., C)
 
     val = (
-        take(y0i, x0i) * (hy * hx)[..., None]
-        + take(y0i, x1i) * (hy * lx)[..., None]
-        + take(y1i, x0i) * (ly * hx)[..., None]
-        + take(y1i, x1i) * (ly * lx)[..., None]
+        take(y0i, x0i) * (hy * hx)[..., None].astype(dt)
+        + take(y0i, x1i) * (hy * lx)[..., None].astype(dt)
+        + take(y1i, x0i) * (ly * hx)[..., None].astype(dt)
+        + take(y1i, x1i) * (ly * lx)[..., None].astype(dt)
     )
-    return jnp.where(oob[..., None], 0.0, val)
+    return jnp.where(oob[..., None], jnp.zeros((), dt), val)
 
 
 @partial(

@@ -1,0 +1,167 @@
+"""CLI entry point — parity with the reference's main.py:36-132.
+
+Usage:
+    python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
+        --opts MODEL.WEIGHTS path/to/R-101.pkl OUTPUT_DIR out/base1
+    python main.py --config-file ... --eval-only --opts MODEL.WEIGHTS ...
+
+Differences from the reference (documented):
+  * no multi-process `launch` — data parallelism is a jax.sharding mesh
+    inside one process (all local devices used automatically);
+  * the experiment keys the reference adds at runtime (MODEL.ADDITION.*)
+    are part of the committed schema (config/defaults.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def default_argument_parser():
+    parser = argparse.ArgumentParser(description="TPU DeFRCN few-shot detection")
+    parser.add_argument("--config-file", default="", metavar="FILE")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--eval-iter", type=int, default=-1)
+    # accepted for CLI compat with reference run scripts (ignored: the mesh
+    # picks up all local devices)
+    parser.add_argument("--num-gpus", type=int, default=1)
+    parser.add_argument("--num-machines", type=int, default=1)
+    parser.add_argument("--machine-rank", type=int, default=0)
+    parser.add_argument("--dist-url", default="auto")
+    parser.add_argument(
+        "opts", default=None, nargs=argparse.REMAINDER,
+        help="Modify config options via 'KEY VALUE' pairs",
+    )
+    return parser
+
+
+def setup(args):
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+        set_global_cfg,
+    )
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    # EVAL_PERIOD heuristic (ref main.py:81-82)
+    if cfg.TEST.EVAL_PERIOD == 0 and cfg.SOLVER.MAX_ITER > 0:
+        cfg.TEST.EVAL_PERIOD = cfg.SOLVER.MAX_ITER
+    set_global_cfg(cfg)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+    return cfg
+
+
+def build_evaluator(cfg, dataset_name, output_dir):
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        MetadataCatalog,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation import (
+        COCOEvaluator,
+        PascalVOCDetectionEvaluator,
+    )
+
+    etype = MetadataCatalog.get(dataset_name).get("evaluator_type")
+    if etype == "pascal_voc":
+        return PascalVOCDetectionEvaluator(dataset_name, output_dir)
+    if etype == "coco":
+        return COCOEvaluator(dataset_name, output_dir)
+    raise NotImplementedError(f"no evaluator for {dataset_name} ({etype})")
+
+
+def do_test(cfg, params=None):
+    import jax
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.torch_import import (
+        maybe_load_reference_weights,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        build_detection_test_loader,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation import (
+        inference_on_dataset,
+        print_csv_format,
+        verify_results,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models import (
+        build_model,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        ImageBatch,
+    )
+
+    model = build_model(cfg)
+    if params is None:
+        import functools
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        h, w = cfg.TPU.IMAGE_BUCKETS[-1]
+        dummy = ImageBatch(
+            image=jnp.zeros((1, h, w, 3), jnp.float32),
+            hw=jnp.asarray([[h, w]], jnp.int32),
+            orig_hw=jnp.asarray([[h, w]], jnp.int32),
+        )
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            {"params": jax.random.PRNGKey(0)}, dummy
+        )
+        params = maybe_load_reference_weights(
+            cfg.MODEL.WEIGHTS, variables["params"]
+        )
+
+    pcb = None
+    if cfg.TEST.PCB_ENABLE:
+        from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.pcb import (
+            PrototypicalCalibrationBlock,
+        )
+
+        pcb = PrototypicalCalibrationBlock(cfg)
+
+    results = {}
+    for dataset_name in cfg.DATASETS.TEST:
+        loader = build_detection_test_loader(cfg, dataset_name, batch_size=4)
+        evaluator = build_evaluator(cfg, dataset_name, cfg.OUTPUT_DIR)
+        res = inference_on_dataset(model, params, loader, evaluator, pcb=pcb)
+        results[dataset_name] = res
+        print_csv_format(res)
+        if not verify_results(cfg, res):
+            sys.exit(1)
+    return results
+
+
+def main():
+    args = default_argument_parser().parse_args()
+    cfg = setup(args)
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        register_all,
+    )
+
+    register_all()
+
+    if args.eval_only:
+        return do_test(cfg)
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+
+    trainer = Trainer(cfg)
+    trainer.resume_or_load(resume=args.resume)
+    params = trainer.train()
+    if cfg.DATASETS.TEST:
+        return do_test(cfg, params=params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Text/semantic branch smoke tests: each ROI-head variant and meta-arch
+variant produces finite losses and flowing gradients on a tiny model."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.models import (
+    GeneralizedRCNN,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.models.text_heads import (
+    GeneralizedDistillatedRCNN,
+    GeneralizedSemanticRCNN,
+    GeneralizedTextAttRCNN,
+    GeneralizedTextRCNN,
+    paint_semantic_map,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+    SingleHeadSiameseAttention,
+    loss_fn_kd_only,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+    GTInstances,
+)
+from tests.test_model_smoke import tiny_batch
+
+NUM_CLASSES = 5
+SEM_DIM = 16
+
+
+def bank():
+    rng = np.random.RandomState(0)
+    b = rng.randn(NUM_CLASSES, SEM_DIM).astype(np.float32)
+    return b / np.linalg.norm(b, axis=1, keepdims=True)
+
+
+def bg():
+    return np.ones((1, SEM_DIM), np.float32) / np.sqrt(SEM_DIM)
+
+
+TINY = dict(
+    num_classes=NUM_CLASSES,
+    depth=14,
+    stem_out_channels=8,
+    res2_out_channels=16,
+    width_per_group=4,
+    freeze_at=0,
+    rpn_pre_nms_topk=(128, 128),
+    rpn_post_nms_topk=(32, 32),
+    roi_batch_per_image=8,
+    test_candidate_topk=64,
+    test_topk_per_image=10,
+)
+
+
+def run_train(model):
+    images, gt = tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(model.init, train=True))(
+        rngs, images, gt
+    )
+    losses = jax.jit(functools.partial(model.apply, train=True))(
+        params, images, gt,
+        rngs={"sampling": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    return model, params, losses
+
+
+@pytest.mark.parametrize(
+    "head",
+    [
+        "SematicRes5ROIHeads",
+        "SematicRes5ROIHeadsCrossOutput",
+        "TextRes5ROIHeads",
+        "TextRes5ROIHeads_VKV",
+        "TextRes5ROIHeads_textDomination",
+        "TextRes5ROIHeads_textDomination_VKV",
+    ],
+)
+def test_text_roi_heads_train_and_infer(head):
+    model = GeneralizedRCNN(
+        roi_heads_name=head, class_embed=bank(), bg_embed=bg(), **TINY
+    )
+    model, params, losses = run_train(model)
+    if head.startswith("Sematic") and not head.endswith("CrossOutput"):
+        assert "loss_attentive" in losses
+    if head.startswith("Text"):
+        assert "loss_kl" in losses
+        assert "loss_cls_t" in losses
+        assert "loss_student_feat" in losses
+
+    images, _ = tiny_batch()
+    det = jax.jit(functools.partial(model.apply, train=False))(params, images)
+    assert det.boxes.shape[0] == 2
+
+
+@pytest.mark.parametrize(
+    "cls",
+    [GeneralizedSemanticRCNN, GeneralizedDistillatedRCNN, GeneralizedTextRCNN,
+     GeneralizedTextAttRCNN],
+)
+def test_text_meta_archs_train(cls):
+    model = cls(class_embed=bank(), semantic_dim=SEM_DIM, **TINY)
+    _, _, losses = run_train(model)
+    if cls is GeneralizedDistillatedRCNN:
+        assert {"loss_rpn_res2", "loss_rpn_res3", "loss_rpn_res4"} <= set(losses)
+
+
+def test_paint_semantic_map_last_wins():
+    emb = np.eye(3, dtype=np.float32)
+    gt = GTInstances(
+        boxes=jnp.asarray(
+            [[[0.0, 0.0, 64.0, 64.0], [32.0, 32.0, 96.0, 96.0]]]
+        ),
+        classes=jnp.asarray([[0, 2]], jnp.int32),
+        valid=jnp.asarray([[True, True]]),
+    )
+    bg_vec = jnp.full((3,), 0.5)
+    out = np.asarray(
+        paint_semantic_map(gt, jnp.asarray(emb), bg_vec, (8, 8), stride=16)
+    )[0]
+    # pixel (1,1) inside first box only -> class 0
+    np.testing.assert_allclose(out[1, 1], [1, 0, 0])
+    # pixel (3,3) inside both -> later GT (class 2) wins
+    np.testing.assert_allclose(out[3, 3], [0, 0, 1])
+    # pixel (7,7) outside both -> bg
+    np.testing.assert_allclose(out[7, 7], [0.5, 0.5, 0.5])
+
+
+def test_kd_loss_bg_weighting():
+    logits_s = jnp.asarray([[2.0, 0.0], [0.0, 2.0]])
+    logits_t = jnp.asarray([[0.0, 2.0], [2.0, 0.0]])
+    labels = jnp.asarray([0, 1])  # second row is bg (bg_label=1)
+    l = float(loss_fn_kd_only(logits_s, labels, 1, logits_t, temperature=1.0))
+    # manual: per-row KL identical by symmetry; bg row x1.5 -> 1.25x mean KL
+    p = jax.nn.softmax(logits_t[0])
+    q = jax.nn.log_softmax(logits_s[0])
+    kl = float(jnp.sum(p * (jax.nn.log_softmax(logits_t[0]) - q)))
+    assert np.isclose(l, (kl + 1.5 * kl) / 2, rtol=1e-5)
+
+
+def test_siamese_attention_shapes():
+    mod = SingleHeadSiameseAttention(d_model=32)
+    q = jnp.ones((2, 7, 32))
+    k = jnp.ones((2, 5, 32))
+    v = jnp.ones((2, 5, 32))
+    params = mod.init(jax.random.PRNGKey(0), q, k, v)
+    out, attn = mod.apply(params, q, k, v)
+    assert out.shape == (2, 7, 32)
+    assert attn.shape == (2, 7, 6)  # K gets the dummy token
+    assert np.allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
