@@ -71,7 +71,13 @@ class Trainer:
     def __init__(self, cfg, model=None):
         self.cfg = cfg
         self.model = model if model is not None else build_model(cfg)
-        self.mesh = get_mesh()
+        # Largest device count that divides the global batch (the reference
+        # asserts batch % world_size == 0, dataloader/build.py:250-255; we
+        # shrink the mesh instead of failing).
+        ndev = len(jax.devices())
+        while cfg.SOLVER.IMS_PER_BATCH % ndev:
+            ndev -= 1
+        self.mesh = get_mesh(ndev)
         self.seed = default_setup(cfg)
         self.rng = jax.random.PRNGKey(self.seed)
         self.start_iter = 0

@@ -53,21 +53,29 @@ def inference_on_dataset(
         t0 = time.perf_counter()
         det = apply_fn({"params": params}, images)
         det = jax.block_until_ready(det)
-        if pcb is not None:
-            det = pcb.execute_calibration(images, det)
         t1 = time.perf_counter()
         if idx >= num_warmup:
             total_compute += t1 - t0
 
         nvalid = meta.get("valid_count", len(meta["image_ids"]))
         num_images += nvalid
+        det_np = {
+            "boxes": np.array(det.boxes)[:nvalid],
+            "scores": np.array(det.scores)[:nvalid],
+            "classes": np.array(det.classes)[:nvalid],
+            "valid": np.array(det.valid)[:nvalid],
+        }
+        if pcb is not None:
+            det_np = pcb.execute_calibration(
+                meta["image_ids"][:nvalid], det_np
+            )
         if evaluator is not None:
             evaluator.process_detections(
                 meta["image_ids"][:nvalid],
-                np.asarray(det.boxes)[:nvalid],
-                np.asarray(det.scores)[:nvalid],
-                np.asarray(det.classes)[:nvalid],
-                np.asarray(det.valid)[:nvalid],
+                det_np["boxes"],
+                det_np["scores"],
+                det_np["classes"],
+                det_np["valid"],
             )
         idx += 1
 

@@ -1,0 +1,199 @@
+"""Prototypical Calibration Block (PCB).
+
+Parity with defrcn/evaluation/calibration_layer.py:17-151:
+  * a separate ImageNet ResNet-101 (torchvision weights) extracts 1000-d
+    activation vectors via ROIAlign(1x1, 1/32) + fc over ORIGINAL-size
+    images;
+  * class prototypes = mean activation over the k-shot support set's GT
+    boxes (built once, from cfg.DATASETS.TRAIN[0]);
+  * at test time, detections with PCB_LOWER < score <= PCB_UPPER get
+    score <- alpha * score + (1 - alpha) * cos(feature, prototype[class]);
+  * classes in the base split are excluded on *_test_all datasets
+    (clsid_filter, :126-139).
+
+TPU notes: feature extraction jits per image-size bucket; the support pass
+runs once at construction (the reference does the same full extra pass,
+SURVEY.md §3.5 hot-loop #6).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data import get_detection_dataset_dicts
+from ..ops.roi_align import roi_align
+from .archs import TorchvisionResNet, tv_translate
+
+logger = logging.getLogger(__name__)
+
+# torchvision ImageNet stats (RGB)
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _bucket(h, w):
+    up = lambda v: int(np.ceil(v / 64.0) * 64)
+    return up(h), up(w)
+
+
+class PrototypicalCalibrationBlock:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.alpha = cfg.TEST.PCB_ALPHA
+        self.upper = cfg.TEST.PCB_UPPER
+        self.lower = cfg.TEST.PCB_LOWER
+
+        self.model = TorchvisionResNet(depth=101)
+        self.params = self._load_params(cfg.TEST.PCB_MODELPATH)
+        self._extract = {}
+
+        self.prototypes = self.build_prototypes()
+        self.exclude_cls = self.clsid_filter()
+        # test-set image_id -> file path (calibration reads originals)
+        self._files: Dict = {}
+        for name in cfg.DATASETS.TEST:
+            for r in get_detection_dataset_dicts([name], filter_empty=False):
+                self._files[r["image_id"]] = r["file_name"]
+
+    # ------------------------------------------------------------------
+    def _load_params(self, path):
+        import jax.numpy as jnp
+
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
+        params = variables["params"]
+        if path:
+            try:
+                import torch
+
+                from ..checkpoint.torch_import import apply_weight_dict
+
+                state = torch.load(path, map_location="cpu", weights_only=False)
+                if "model" in state:
+                    state = state["model"]
+                named = {
+                    k: v.numpy() for k, v in state.items()
+                    if hasattr(v, "numpy")
+                }
+                params, matched, skipped = apply_weight_dict(
+                    params, named, tv_translate
+                )
+                logger.info(
+                    "PCB: loaded %d tensors from %s (%d unmatched)",
+                    matched, path, len(skipped),
+                )
+            except FileNotFoundError:
+                logger.warning("PCB weights %s missing; using random init", path)
+        return params
+
+    def _extract_fn(self, shape):
+        if shape not in self._extract:
+
+            def fn(params, image, boxes):
+                _, feat = self.model.apply({"params": params}, image[None])
+                pooled = roi_align(
+                    feat[0].astype(jnp.float32), boxes, 1, 1.0 / 32.0, 2
+                )[:, 0, 0, :]
+                # fc applied to the ROI-pooled res5 features
+                # (ref calibration_layer.py:100-103)
+                w = params["fc"]["kernel"]
+                b = params["fc"]["bias"]
+                return pooled @ w + b
+
+            self._extract[shape] = jax.jit(fn)
+        return self._extract[shape]
+
+    def _roi_features(self, file_name, boxes: np.ndarray):
+        """boxes in ORIGINAL image coords; returns (N, 1000) activations."""
+        img = np.asarray(Image.open(file_name).convert("RGB"), np.float32)
+        h, w = img.shape[:2]
+        bh, bw = _bucket(h, w)
+        padded = np.zeros((bh, bw, 3), np.float32)
+        padded[:h, :w] = (img / 255.0 - _MEAN) / _STD
+
+        n = len(boxes)
+        max_n = int(np.ceil(max(n, 1) / 16.0) * 16)
+        pboxes = np.zeros((max_n, 4), np.float32)
+        pboxes[:n] = boxes
+        fn = self._extract_fn((bh, bw, max_n))
+        out = np.asarray(fn(self.params, jnp.asarray(padded), jnp.asarray(pboxes)))
+        return out[:n]
+
+    # ------------------------------------------------------------------
+    def build_prototypes(self):
+        name = self.cfg.DATASETS.TRAIN[0]
+        dicts = get_detection_dataset_dicts([name], filter_empty=True)
+        feats, labels = [], []
+        for rec in dicts:
+            annos = rec["annotations"]
+            boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
+            if not len(boxes):
+                continue
+            f = self._roi_features(rec["file_name"], boxes)
+            feats.append(f)
+            labels.extend(int(a["category_id"]) for a in annos)
+        feats = np.concatenate(feats, axis=0)
+        labels = np.asarray(labels)
+        protos = {}
+        for c in np.unique(labels):
+            protos[int(c)] = feats[labels == c].mean(axis=0)
+        logger.info("PCB: built %d class prototypes from %s", len(protos), name)
+        return protos
+
+    def clsid_filter(self):
+        dsname = self.cfg.DATASETS.TEST[0]
+        if "test_all" in dsname:
+            if "coco" in dsname:
+                return [7, 9, 10, 11, 12, 13, 20, 21, 22, 23, 24, 25, 26, 27,
+                        28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 40, 41,
+                        42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54,
+                        55, 59, 61, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72,
+                        73, 74, 75, 76, 77, 78, 79]
+            if "voc" in dsname:
+                return list(range(0, 15))
+            raise NotImplementedError(dsname)
+        return []
+
+    # ------------------------------------------------------------------
+    def calibrate_image(self, image_id, boxes, scores, classes, valid):
+        """Adjust one image's detection scores in place (numpy)."""
+        file_name = self._files.get(image_id)
+        if file_name is None:
+            return scores
+        sel = valid & (scores > self.lower) & (scores <= self.upper)
+        idx = np.nonzero(sel)[0]
+        if len(idx) == 0:
+            return scores
+        feats = self._roi_features(file_name, boxes[idx])
+        for j, i in enumerate(idx):
+            c = int(classes[i])
+            if c in self.exclude_cls or c not in self.prototypes:
+                continue
+            p = self.prototypes[c]
+            f = feats[j]
+            cos = float(
+                np.dot(f, p)
+                / max(np.linalg.norm(f) * np.linalg.norm(p), 1e-12)
+            )
+            scores[i] = scores[i] * self.alpha + cos * (1 - self.alpha)
+        return scores
+
+    def execute_calibration(self, image_ids, det_np):
+        """det_np: dict with boxes/scores/classes/valid (B, D, ...) numpy in
+        ORIGINAL image coordinates. Returns the dict with adjusted scores."""
+        for i, image_id in enumerate(image_ids):
+            det_np["scores"][i] = self.calibrate_image(
+                image_id,
+                det_np["boxes"][i],
+                det_np["scores"][i],
+                det_np["classes"][i],
+                det_np["valid"][i],
+            )
+        return det_np

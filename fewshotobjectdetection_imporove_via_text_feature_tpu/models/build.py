@@ -33,6 +33,9 @@ def _common_kwargs(cfg):
         roi_enable_decouple=cfg.MODEL.ROI_HEADS.ENABLE_DECOUPLE,
         roi_backward_scale=cfg.MODEL.ROI_HEADS.BACKWARD_SCALE,
         depth=cfg.MODEL.RESNETS.DEPTH,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
         freeze_at=freeze_at,
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE,
         freeze_rpn=cfg.MODEL.RPN.FREEZE,
@@ -65,6 +68,7 @@ def _common_kwargs(cfg):
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         roi_heads_name=cfg.MODEL.ROI_HEADS.NAME,
+        output_layer=cfg.MODEL.ROI_HEADS.OUTPUT_LAYER,
         freeze_attention=cfg.MODEL.ADDITION.FREEZEATTENTION,
         l2_cosine=cfg.MODEL.ROI_HEADS.L2_COSINE,
         kl_temp=float(cfg.MODEL.ROI_HEADS.KL_TEMP),

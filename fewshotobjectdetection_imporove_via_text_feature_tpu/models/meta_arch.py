@@ -96,6 +96,7 @@ class GeneralizedRCNN(nn.Module):
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # ROI-heads selection (ref cfg.MODEL.ROI_HEADS.NAME) + text-branch knobs
     roi_heads_name: str = "Res5ROIHeads"
+    output_layer: str = "FastRCNNOutputLayers"
     class_embed: Any = None      # np (C, sem_dim) bank for text heads
     bg_embed: Any = None         # np (1, sem_dim) for SematicProposalAttention
     freeze_attention: bool = False
@@ -130,6 +131,9 @@ class GeneralizedRCNN(nn.Module):
             cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             cls_dropout=self.cls_dropout,
             dropout_ratio=self.dropout_ratio,
+            attention_output_layer=(
+                self.output_layer == "FastRCNNAttentionOutputLayers"
+            ),
             dtype=self.dtype,
         )
         name = self.roi_heads_name

@@ -94,6 +94,9 @@ class Res5ROIHeads(nn.Module):
     cls_dropout: bool = False
     dropout_ratio: float = 0.8
     roi_chunk: int = 256  # ROIs per image processed per unrolled chunk
+    # OUTPUT_LAYER FastRCNNAttentionOutputLayers: attended scores become the
+    # class logits directly (ref fast_rcnn.py:422-475)
+    attention_output_layer: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -108,6 +111,7 @@ class Res5ROIHeads(nn.Module):
             cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             cls_dropout=self.cls_dropout,
             dropout_ratio=self.dropout_ratio,
+            attention_scores_as_logits=self.attention_output_layer,
         )
 
     def pooled_features(self, features: jnp.ndarray, boxes: jnp.ndarray):

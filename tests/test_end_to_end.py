@@ -1,0 +1,143 @@
+"""End-to-end integration: register a synthetic VOC dataset, run the full
+Trainer loop (jit train step, checkpointing) for a few iterations, then the
+full eval pipeline (inference -> VOC evaluator), then checkpoint surgery."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.config import get_cfg
+from fewshotobjectdetection_imporove_via_text_feature_tpu.data.builtin_meta import (
+    _get_builtin_metadata,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.data.meta_voc import (
+    register_meta_voc,
+)
+from tests.test_data_layer import make_voc
+
+_REGISTERED = {}
+
+
+def setup_dataset(tmp_root):
+    """Register train/test synthetic VOC splits once per session."""
+    if "done" in _REGISTERED:
+        return _REGISTERED["root"]
+    d, ids = make_voc(tmp_root, n=6)
+    meta = _get_builtin_metadata("voc_fewshot")
+    register_meta_voc(
+        "e2e_voc_2007_trainval_all1", meta, d, "trainval", 2007,
+        "base_novel_1", 1, root=tmp_root,
+    )
+    register_meta_voc(
+        "e2e_voc_2007_test_all1", meta, d, "trainval", 2007,
+        "base_novel_1", 1, root=tmp_root,
+    )
+    _REGISTERED["done"] = True
+    _REGISTERED["root"] = tmp_root
+    return tmp_root
+
+
+def tiny_cfg(tmp_path):
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 14
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.TPU.IMAGE_BUCKETS = ((256, 384),)
+    cfg.TPU.MAX_GT = 10
+    cfg.TPU.MAX_DETECTIONS_PRE_NMS = 128
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.INPUT.MIN_SIZE_TRAIN = (256,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 384
+    cfg.INPUT.MIN_SIZE_TEST = 256
+    cfg.INPUT.MAX_SIZE_TEST = 384
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.DATASETS.TRAIN = ("e2e_voc_2007_trainval_all1",)
+    cfg.DATASETS.TEST = ("e2e_voc_2007_test_all1",)
+    cfg.SEED = 7
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def shared_tmp(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+def test_full_train_eval_surgery(shared_tmp):
+    setup_dataset(str(shared_tmp))
+    cfg = tiny_cfg(shared_tmp)
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+
+    trainer = Trainer(cfg)
+    params = trainer.train()
+
+    # metrics written
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
+    # final checkpoint exists and reloads
+    ckpt = os.path.join(cfg.OUTPUT_DIR, "model_final.ckpt")
+    assert os.path.exists(ckpt)
+    with open(ckpt, "rb") as f:
+        state = pickle.load(f)
+    assert state["iteration"] == cfg.SOLVER.MAX_ITER - 1
+
+    # --- evaluation path ---
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        build_detection_test_loader,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation import (
+        PascalVOCDetectionEvaluator,
+        inference_on_dataset,
+    )
+
+    loader = build_detection_test_loader(
+        cfg, cfg.DATASETS.TEST[0], batch_size=2
+    )
+    evaluator = PascalVOCDetectionEvaluator(cfg.DATASETS.TEST[0])
+    results = inference_on_dataset(
+        trainer.model, params, loader, evaluator
+    )
+    assert "bbox" in results
+    assert {"AP", "AP50", "AP75", "bAP", "nAP"} <= set(results["bbox"])
+    assert np.isfinite(results["bbox"]["AP50"])
+
+    # --- surgery: 20-class head -> remove + randinit roundtrip ---
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery import (
+        surgery_randinit,
+        surgery_remove,
+    )
+
+    import jax
+
+    params_np = jax.device_get(params)
+    removed = surgery_remove(params_np)
+    assert "cls_score" not in removed["roi_heads"]["box_predictor"]
+
+    expanded = surgery_randinit(params_np, 25, dataset="voc")
+    k = expanded["roi_heads"]["box_predictor"]["cls_score"]["kernel"]
+    assert k.shape[1] == 26
+    # base rows preserved
+    old = params_np["roi_heads"]["box_predictor"]["cls_score"]["kernel"]
+    np.testing.assert_allclose(k[:, :20], old[:, :20])
+    np.testing.assert_allclose(k[:, -1], old[:, -1])  # bg row
+
+    # --- resume path ---
+    trainer2 = Trainer(cfg)
+    trainer2.resume_or_load(resume=True)
+    assert trainer2.start_iter == cfg.SOLVER.MAX_ITER

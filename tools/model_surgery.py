@@ -1,0 +1,70 @@
+"""Checkpoint surgery CLI — same interface as the reference
+tools/model_surgery.py (remove / randinit / reset) operating on our
+pytree checkpoints (.ckpt) and importing torch .pth if given."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery import (  # noqa: E402
+    reset_optimizer,
+    surgery_randinit,
+    surgery_remove,
+)
+
+
+def load_state(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_state(state, path):
+    with open(path, "wb") as f:
+        pickle.dump(state, f, protocol=4)
+    print(f"save changed ckpt to {path}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="coco", choices=["voc", "coco"])
+    p.add_argument("--src-path", default="", help="Path to the main checkpoint")
+    p.add_argument("--save-dir", required=True)
+    p.add_argument(
+        "--method", choices=["remove", "randinit", "reset"], required=True
+    )
+    p.add_argument("--tar-name", default="model_reset")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    state = load_state(args.src_path)
+    tar_size = 80 if args.dataset == "coco" else 20
+
+    if args.method == "reset":
+        state = reset_optimizer(state)
+        save_state(
+            state, os.path.join(args.save_dir, args.tar_name + "_optimizer.ckpt")
+        )
+        return
+
+    state = reset_optimizer(state)
+    params = state["params"] if "params" in state else state
+    if args.method == "remove":
+        new_params = surgery_remove(params)
+        suffix = "_remove"
+    else:
+        new_params = surgery_randinit(
+            params, tar_size, dataset=args.dataset, seed=args.seed
+        )
+        suffix = "_surgery"
+    state["params"] = new_params
+    save_state(state, os.path.join(args.save_dir, args.tar_name + suffix + ".ckpt"))
+
+
+if __name__ == "__main__":
+    main()
