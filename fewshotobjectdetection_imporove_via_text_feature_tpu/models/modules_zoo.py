@@ -1,0 +1,235 @@
+"""KD / misc module zoo — JAX ports of the reference's my_module.py.
+
+Spec source: defrcn/modeling/roi_heads/my_module.py —
+  * sinkhorn / OptimalTransportFcn (:37-391, a DDN implicit-diff entropy-
+    regularized OT solver; the repo's only gradcheck-tested numeric code),
+  * loss_fn_kd (:393-406) — loss_fn_kd_only lives in attention.py,
+  * similarity matrices (:440-469),
+  * memory_bank EMA class banks (:631-928),
+  * label-smoothing losses (:939-979),
+  * feature generators (:982-1059),
+  * contrastive_loss (:1062-1197),
+  * Deconv_loss stub (:1331-1336).
+
+TPU re-design: sinkhorn iterations run under lax.scan (reverse-mode
+differentiable); ``optimal_transport`` additionally exposes the DDN
+"approx" implicit gradient as a custom_vjp so long solver runs don't pay
+an unrolled backward.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# --------------------------------------------------------------------------
+# Sinkhorn / optimal transport
+# --------------------------------------------------------------------------
+def sinkhorn(M, r=None, c=None, gamma=1.0, maxiters=100, logspace=False):
+    """Entropy-regularized OT via Sinkhorn row/col normalization.
+
+    M: (B, H, W); r: (B, H) or None (uniform); c: (B, W) or None.
+    Differentiable by backprop through the scan (reference sinkhorn
+    my_module.py:37-71 backprops through the loop the same way).
+    """
+    b, h, w = M.shape
+    r = jnp.full((b, h), 1.0 / h) if r is None else r / jnp.sum(r, 1, keepdims=True)
+    c = jnp.full((b, w), 1.0 / w) if c is None else c / jnp.sum(c, 1, keepdims=True)
+
+    if logspace:
+        P0 = jnp.power(M, gamma)
+    else:
+        P0 = jnp.exp(-gamma * (M - jnp.min(M, axis=2, keepdims=True)))
+
+    def step(P, _):
+        alpha = jnp.sum(P, axis=2, keepdims=True)
+        P = P / jnp.maximum(alpha, 1e-30) * r[:, :, None]
+        beta = jnp.sum(P, axis=1, keepdims=True)
+        P = P / jnp.maximum(beta, 1e-30) * c[:, None, :]
+        return P, None
+
+    P, _ = jax.lax.scan(step, P0, None, length=maxiters)
+    return P
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def optimal_transport(M, r, c, gamma=1.0, maxiters=100, logspace=False):
+    """OT with the DDN 'approx' implicit gradient (OptimalTransportFcn
+    method='approx', my_module.py:236-243): dJ/dM = -gamma * P * dJ/dP.
+    Use ``sinkhorn`` directly for exact unrolled gradients."""
+    return sinkhorn(M, r, c, gamma, maxiters, logspace)
+
+
+def _ot_fwd(M, r, c, gamma, maxiters, logspace):
+    P = sinkhorn(M, r, c, gamma, maxiters, logspace)
+    return P, P
+
+
+def _ot_bwd(gamma, maxiters, logspace, P, dP):
+    dM = -gamma * P * dP
+    return dM, None, None
+
+
+optimal_transport.defvjp(_ot_fwd, _ot_bwd)
+
+
+# --------------------------------------------------------------------------
+# Similarity matrices (my_module.py:440-469)
+# --------------------------------------------------------------------------
+def _norm(a, eps=1e-12):
+    return a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
+
+
+def sim_matrix(a, b, eps=1e-12):
+    return _norm(a, eps) @ _norm(b, eps).T
+
+
+def bsim_matrix(a, b, tau=1.0):
+    return jnp.einsum("bik,bjk->bij", _norm(a), _norm(b)) * tau
+
+
+def blogits_matrix(a, b):
+    m = jnp.einsum("bik,bjk->bij", a, b)
+    return jnp.max(m) - m
+
+
+# --------------------------------------------------------------------------
+# Label smoothing (my_module.py:939-979)
+# --------------------------------------------------------------------------
+def label_smoothing_cross_entropy(preds, target, epsilon=0.1):
+    n = preds.shape[-1]
+    logp = jax.nn.log_softmax(preds, axis=-1)
+    loss = -logp.sum(axis=-1).mean()
+    nll = -jnp.take_along_axis(logp, target[:, None], axis=1)[:, 0].mean()
+    return (1 - epsilon) * nll + epsilon * loss / n
+
+
+def label_smoothing_loss(pred, target, smoothing=0.2):
+    n_cls = pred.shape[1]
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    true_dist = jnp.full_like(logp, smoothing / (n_cls - 1))
+    true_dist = jnp.where(
+        jax.nn.one_hot(target, n_cls, dtype=bool),
+        1.0 - smoothing,
+        true_dist,
+    )
+    return jnp.mean(jnp.sum(-true_dist * logp, axis=-1))
+
+
+# --------------------------------------------------------------------------
+# KD loss with CE mix (my_module.py:393-406)
+# --------------------------------------------------------------------------
+def loss_fn_kd(outputs, labels, teacher_outputs, alpha, temperature):
+    t = temperature
+    logp_s = jax.nn.log_softmax(outputs / t, axis=1)
+    p_t = jax.nn.softmax(teacher_outputs / t, axis=1)
+    logp_t = jax.nn.log_softmax(teacher_outputs / t, axis=1)
+    kd = jnp.mean(p_t * (logp_t - logp_s))  # torch KLDivLoss default: mean over elements
+    logp = jax.nn.log_softmax(outputs, axis=1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0].mean()
+    return kd * alpha * t * t + ce * (1.0 - alpha)
+
+
+# --------------------------------------------------------------------------
+# EMA memory bank (my_module.py:631-700, update4 semantics)
+# --------------------------------------------------------------------------
+def memory_bank_update(
+    memory, instances, classes, fixed_bank, num_classes, k=0.99
+):
+    """Functional EMA class-bank update.
+
+    memory: (C, cap, D); instances: (N, D); classes: (N,) in [0, C];
+    fixed_bank: (M, D) — pool of anchor features. Per class: push new
+    instances in front of the bank (keeping cap), then blend each slot
+    toward its LEAST-similar fixed anchor with weight (1 - k).
+    """
+    c, cap, d = memory.shape
+
+    def per_class(cls, mem_c):
+        mask = classes == cls  # (N,)
+        # stable ordering: new instances (masked) first, old slots after
+        order = jnp.argsort(~mask, stable=True)
+        new = instances[order]  # matching rows first
+        n_new = jnp.sum(mask)
+        merged = jnp.concatenate([new, mem_c], axis=0)  # (N + cap, D)
+        idx = jnp.arange(cap)
+        take = jnp.where(idx < n_new, idx, idx + (instances.shape[0] - n_new))
+        take = jnp.clip(take, 0, merged.shape[0] - 1).astype(jnp.int32)
+        new_ins = merged[take]  # (cap, D)
+        sims = new_ins @ fixed_bank.T  # (cap, M)
+        least = jnp.argmin(sims, axis=1)
+        blended = k * new_ins + (1 - k) * fixed_bank[least]
+        has_any = jnp.any(mask)
+        return jnp.where(has_any, blended, mem_c)
+
+    return jax.vmap(per_class)(jnp.arange(c), memory)
+
+
+# --------------------------------------------------------------------------
+# Contrastive loss (my_module.py:1062-1197, call_loss3/2 style)
+# --------------------------------------------------------------------------
+def contrastive_loss(x, y, mem, tau=1e-2):
+    """x (N, D) normalized against per-class memory (C, cap, D): positive =
+    mean of own-class slots, negatives = all other-class slots."""
+    n, d = x.shape
+    c, cap, _ = mem.shape
+    xn = _norm(x)
+    memn = _norm(mem)
+
+    class_means = memn.mean(axis=1)  # (C, D)
+    logits_all = xn @ memn.reshape(c * cap, d).T / tau  # (N, C*cap)
+    pos = jnp.take_along_axis(
+        xn @ class_means.T / tau, y[:, None], axis=1
+    )  # (N, 1)
+    own_class = (
+        jnp.arange(c)[None, :, None] == y[:, None, None]
+    )  # (N, C, 1)
+    neg_mask = ~jnp.broadcast_to(own_class, (n, c, cap)).reshape(n, c * cap)
+    neg = jnp.where(neg_mask, logits_all, -jnp.inf)
+
+    logits = jnp.concatenate([pos, neg], axis=1)
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])
+
+
+# --------------------------------------------------------------------------
+# Feature generator (my_module.py:982-1021)
+# --------------------------------------------------------------------------
+class FeatureGenerator(nn.Module):
+    """Noise-conditioned feature hallucinator: per input, sample
+    repeat_time gaussian features with learned mean/std and mix through a
+    near-identity MLP."""
+
+    input_size: int
+    repeat_time: int = 16
+
+    @nn.compact
+    def __call__(self, x, label):
+        c = x.shape[-1]
+        near_eye = nn.initializers.normal(0.02)
+
+        mean = nn.Dense(1, name="mean_layer")(x)  # (N, 1)
+        std = nn.relu(nn.Dense(1, name="std_layer")(x))  # (N, 1)
+
+        r = self.repeat_time
+        key = self.make_rng("generator")
+        z = mean[:, None, :] + std[:, None, :] * jax.random.normal(
+            key, (x.shape[0], r, c)
+        )
+        z = z.reshape(-1, c)
+        xr = jnp.repeat(x, r, axis=0)
+        h = jnp.concatenate([xr, z], axis=1)
+        h = nn.relu(nn.Dense(c, use_bias=False, kernel_init=near_eye,
+                             name="mlp0")(h))
+        h = nn.relu(nn.Dense(c, use_bias=False, kernel_init=near_eye,
+                             name="mlp1")(h))
+        labels = jnp.repeat(label, r, axis=0)
+        return h, labels
+
+
+def deconv_loss(*args, **kwargs):
+    """Stub returning 0 (ref my_module.py:1331-1336 does the same)."""
+    return jnp.zeros(())

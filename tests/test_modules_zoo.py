@@ -1,0 +1,154 @@
+"""Module-zoo numerics: sinkhorn constraints + gradcheck-style gradient
+test (the reference's only numeric unit test, my_module.py:1252-1328),
+label smoothing, KD/dandr losses vs torch re-implementations."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+    contrastive_loss,
+    label_smoothing_cross_entropy,
+    label_smoothing_loss,
+    loss_fn_kd,
+    memory_bank_update,
+    optimal_transport,
+    sim_matrix,
+    sinkhorn,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.utils.kdloss import (
+    dandr_loss,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def test_sinkhorn_satisfies_marginals():
+    rng = np.random.RandomState(0)
+    M = jnp.asarray(rng.rand(2, 5, 7), jnp.float32)
+    r = jnp.asarray(rng.rand(2, 5) + 0.1)
+    c = jnp.asarray(rng.rand(2, 7) + 0.1)
+    P = sinkhorn(M, r, c, gamma=10.0, maxiters=500)
+    rn = np.asarray(r / r.sum(1, keepdims=True))
+    cn = np.asarray(c / c.sum(1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(P.sum(2)), rn, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(P.sum(1)), cn, atol=1e-4)
+
+
+def test_sinkhorn_gradcheck_vs_numeric():
+    """Finite-difference check of the unrolled sinkhorn gradient
+    (analogue of the reference's torch.autograd.gradcheck run)."""
+    rng = np.random.RandomState(1)
+    M0 = rng.rand(1, 3, 4).astype(np.float64)
+
+    with jax.enable_x64():
+
+        def f(M):
+            return jnp.sum(
+                sinkhorn(M, None, None, gamma=2.0, maxiters=200) ** 2
+            )
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(M0)))
+        eps = 1e-6
+        for i in range(3):
+            for j in range(4):
+                Mp = M0.copy(); Mp[0, i, j] += eps
+                Mm = M0.copy(); Mm[0, i, j] -= eps
+                num = (
+                    float(f(jnp.asarray(Mp))) - float(f(jnp.asarray(Mm)))
+                ) / (2 * eps)
+                assert abs(num - g[0, i, j]) < 1e-6, (i, j, num, g[0, i, j])
+
+
+def test_optimal_transport_approx_grad_direction():
+    rng = np.random.RandomState(2)
+    M = jnp.asarray(rng.rand(1, 4, 4), jnp.float32)
+
+    def f(M):
+        return jnp.sum(optimal_transport(M, None, None, 1.0, 100, False) ** 2)
+
+    g = jax.grad(f)(M)
+    # approx gradient: -gamma * P * dJdP = -gamma * P * 2P <= 0 everywhere
+    assert np.all(np.asarray(g) <= 0)
+
+
+def test_label_smoothing_vs_torch():
+    rng = np.random.RandomState(3)
+    logits = rng.randn(6, 5).astype(np.float32)
+    target = rng.randint(0, 5, 6)
+
+    lt = torch.tensor(logits)
+    tt = torch.tensor(target)
+    # LabelSmoothingLoss reference formula
+    smoothing = 0.2
+    logp = torch.log_softmax(lt, dim=1)
+    true = torch.full_like(logp, smoothing / 4)
+    true.scatter_(1, tt.unsqueeze(1), 1 - smoothing)
+    ref = torch.mean(torch.sum(-true * logp, dim=1))
+    got = label_smoothing_loss(jnp.asarray(logits), jnp.asarray(target), 0.2)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    # epsilon=0 reduces to plain CE for the CrossEntropy variant
+    ce = torch.nn.functional.cross_entropy(lt, tt)
+    got2 = label_smoothing_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(target), epsilon=0.0
+    )
+    np.testing.assert_allclose(float(got2), float(ce), rtol=1e-5)
+
+
+def test_loss_fn_kd_vs_torch():
+    rng = np.random.RandomState(4)
+    s = rng.randn(8, 6).astype(np.float32)
+    t = rng.randn(8, 6).astype(np.float32)
+    y = rng.randint(0, 6, 8)
+    T, alpha = 4.0, 0.7
+    st, tt, yt = torch.tensor(s), torch.tensor(t), torch.tensor(y)
+    ref = torch.nn.KLDivLoss()(
+        torch.log_softmax(st / T, dim=1), torch.softmax(tt / T, dim=1)
+    ) * (alpha * T * T) + torch.nn.functional.cross_entropy(st, yt) * (1 - alpha)
+    got = loss_fn_kd(jnp.asarray(s), jnp.asarray(y), jnp.asarray(t), alpha, T)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+
+
+def test_dandr_loss_finite_and_positive():
+    rng = np.random.RandomState(5)
+    s = jnp.asarray(rng.randn(10, 7), jnp.float32)
+    t = jnp.asarray(rng.randn(10, 7), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 7, 10))
+    out = float(dandr_loss(s, t, y, alpha=1.0, beta=1.0, temperature=2.0))
+    assert np.isfinite(out)
+    assert out >= 0
+
+
+def test_memory_bank_update_blends():
+    mem = jnp.zeros((3, 4, 8))
+    fixed = jnp.ones((5, 8))
+    inst = jnp.full((2, 8), 2.0)
+    classes = jnp.asarray([1, 1])
+    new = memory_bank_update(mem, inst, classes, fixed, num_classes=3, k=0.5)
+    new = np.asarray(new)
+    # class 0 and 2 untouched
+    assert (new[0] == 0).all() and (new[2] == 0).all()
+    # class 1 slots 0..1 = 0.5*2 + 0.5*1 = 1.5; slots 2..3 = 0.5*0 + 0.5*1
+    np.testing.assert_allclose(new[1][:2], 1.5)
+    np.testing.assert_allclose(new[1][2:], 0.5)
+
+
+def test_contrastive_loss_prefers_own_class():
+    rng = np.random.RandomState(6)
+    mem = jnp.asarray(rng.randn(3, 4, 8), jnp.float32)
+    x_pos = np.asarray(mem[1]).mean(axis=0, keepdims=True)
+    loss_aligned = float(
+        contrastive_loss(jnp.asarray(x_pos), jnp.asarray([1]), mem)
+    )
+    loss_mis = float(
+        contrastive_loss(jnp.asarray(x_pos), jnp.asarray([2]), mem)
+    )
+    assert loss_aligned < loss_mis
+
+
+def test_sim_matrix():
+    a = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
+    out = np.asarray(sim_matrix(a, a))
+    np.testing.assert_allclose(out, np.eye(2), atol=1e-6)
