@@ -78,7 +78,7 @@ def build_evaluator(cfg, dataset_name, output_dir):
     raise NotImplementedError(f"no evaluator for {dataset_name} ({etype})")
 
 
-def do_test(cfg, params=None):
+def do_test(cfg, params=None, model=None):
     import jax
 
     from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.torch_import import (
@@ -99,7 +99,8 @@ def do_test(cfg, params=None):
         ImageBatch,
     )
 
-    model = build_model(cfg)
+    if model is None:
+        model = build_model(cfg)
     if params is None:
         import functools
 
@@ -158,9 +159,25 @@ def main():
 
     trainer = Trainer(cfg)
     trainer.resume_or_load(resume=args.resume)
+
+    # periodic in-training eval (ref EvalHookDeFRCN, hooks.py:15-83)
+    if 0 < cfg.TEST.EVAL_PERIOD < cfg.SOLVER.MAX_ITER and cfg.DATASETS.TEST:
+        from fewshotobjectdetection_imporove_via_text_feature_tpu.engine.hooks import (
+            EvalHook,
+        )
+
+        trainer.hooks.append(
+            EvalHook(
+                cfg.TEST.EVAL_PERIOD,
+                cfg.SOLVER.MAX_ITER,
+                cfg.OUTPUT_DIR,
+                lambda p: do_test(cfg, params=p, model=trainer.model),
+            )
+        )
+
     params = trainer.train()
     if cfg.DATASETS.TEST:
-        return do_test(cfg, params=params)
+        return do_test(cfg, params=params, model=trainer.model)
 
 
 if __name__ == "__main__":
