@@ -53,7 +53,10 @@ class FrozenBN(nn.Module):
         return x * scale.astype(self.dtype) + shift.astype(self.dtype)
 
 
-def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
+def _conv(
+    features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32,
+    zero_init=False,
+):
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features=features,
@@ -64,8 +67,12 @@ def _conv(features, kernel, stride=1, dilation=1, name=None, dtype=jnp.float32):
         use_bias=False,
         dtype=dtype,
         param_dtype=jnp.float32,
-        kernel_init=nn.initializers.variance_scaling(
-            2.0, "fan_out", "truncated_normal"
+        kernel_init=(
+            nn.initializers.zeros
+            if zero_init
+            else nn.initializers.variance_scaling(
+                2.0, "fan_out", "truncated_normal"
+            )
         ),
         name=name,
     )
@@ -97,7 +104,13 @@ class BottleneckBlock(nn.Module):
         out = FrozenBN(self.bottleneck_channels, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
 
-        out = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(out)
+        # conv3 zero-init: with identity FrozenBN a randomly-initialized
+        # deep ResNet explodes (no live normalization); zero residuals keep
+        # random-init activations bounded. Pretrained loads overwrite this.
+        out = _conv(
+            self.out_channels, 1, 1, name="conv3", dtype=self.dtype,
+            zero_init=True,
+        )(out)
         out = FrozenBN(self.out_channels, dtype=self.dtype, name="bn3")(out)
 
         if in_channels != self.out_channels or self.stride != 1:
