@@ -141,7 +141,16 @@ class Trainer:
         t_last = time.time()
         params = self.params
 
+        if cfg.TPU.DEBUG_NANS:
+            jax.config.update("jax_debug_nans", True)
+        profile_start = cfg.TPU.PROFILE_START_STEP
+        profile_stop = profile_start + cfg.TPU.PROFILE_NUM_STEPS
+
         while it < self.max_iter:
+            if it == profile_start:
+                jax.profiler.start_trace(
+                    os.path.join(cfg.OUTPUT_DIR, "profile")
+                )
             images, gt, _ = next(data_iter)
             images_d, gt_d = shard_batch(self.mesh, (images, gt))
 
@@ -167,6 +176,9 @@ class Trainer:
 
             for hook in self.hooks:
                 hook(it, params)
+            if it + 1 == profile_stop and profile_start >= 0:
+                jax.block_until_ready(losses)
+                jax.profiler.stop_trace()
             it += 1
 
         self.params = params

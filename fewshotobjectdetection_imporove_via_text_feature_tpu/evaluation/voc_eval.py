@@ -120,6 +120,7 @@ class PascalVOCDetectionEvaluator(DatasetEvaluator):
 
     def reset(self):
         self._predictions = defaultdict(list)  # class id -> det tuples
+        self._coco_json = []  # COCO-format dump (ref :74-79)
 
     def process_detections(self, image_ids, boxes, scores, classes, valid):
         """Accumulate one batch of padded detections (original-frame XYXY)."""
@@ -134,6 +135,14 @@ class PascalVOCDetectionEvaluator(DatasetEvaluator):
                 # invert the loader's -1 shift (ref :66-68)
                 self._predictions[int(cls)].append(
                     (image_id, float(score), x1 + 1.0, y1 + 1.0, x2, y2)
+                )
+                self._coco_json.append(
+                    {
+                        "image_id": image_id,
+                        "category_id": int(cls),
+                        "bbox": [float(v) for v in box],
+                        "score": float(score),
+                    }
                 )
 
     def evaluate(self):
@@ -202,4 +211,13 @@ class PascalVOCDetectionEvaluator(DatasetEvaluator):
                 nAP75=float(m[75]),
             )
         logger.info("Per-class AP50: %s", per_class_ap50)
+        if self._output_dir:
+            import json
+
+            os.makedirs(self._output_dir, exist_ok=True)
+            with open(
+                os.path.join(self._output_dir, "coco_instances_results.json"),
+                "w",
+            ) as f:
+                json.dump(self._coco_json, f)
         return ret
