@@ -1,0 +1,49 @@
+"""Config version compatibility shims.
+
+Parity surface for defrcn/config/compat.py (264 LoC of version up/downgrade
+between detectron2 config VERSION 1 and 2). Our schema is VERSION 2; the
+only V1 convention still seen in the wild is renamed RPN/head keys.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+LATEST_VERSION = 2
+
+# V1 -> V2 key renames (detectron2 upgrade table).
+_RENAMED = {
+    "MODEL.RPN_HEAD.NAME": "MODEL.RPN.HEAD_NAME",
+    "MODEL.RPN.RPN_STRADDLE_THRESH": "MODEL.RPN.BOUNDARY_THRESH",
+}
+
+
+def upgrade_config(cfg_dict: dict, to_version: int = LATEST_VERSION) -> dict:
+    """Upgrade a plain config dict loaded from YAML to the latest schema."""
+    version = cfg_dict.get("VERSION", LATEST_VERSION)
+    if version >= to_version:
+        return cfg_dict
+    logger.info("Upgrading config from VERSION %d to %d", version, to_version)
+    for old, new in _RENAMED.items():
+        _rename(cfg_dict, old, new)
+    cfg_dict["VERSION"] = to_version
+    return cfg_dict
+
+
+def _rename(d: dict, old: str, new: str):
+    node = d
+    parts = old.split(".")
+    for p in parts[:-1]:
+        node = node.get(p)
+        if node is None:
+            return
+    if parts[-1] not in node:
+        return
+    value = node.pop(parts[-1])
+    tgt = d
+    nparts = new.split(".")
+    for p in nparts[:-1]:
+        tgt = tgt.setdefault(p, {})
+    tgt[nparts[-1]] = value

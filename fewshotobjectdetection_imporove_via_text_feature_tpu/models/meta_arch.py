@@ -139,6 +139,16 @@ class GeneralizedRCNN(nn.Module):
         name = self.roi_heads_name
         if name == "Res5ROIHeads":
             return Res5ROIHeads(**common)
+        if name == "StandardROIHeads":
+            from .box_head import StandardROIHeads
+
+            return StandardROIHeads(
+                num_classes=self.num_classes,
+                cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+                cls_dropout=self.cls_dropout,
+                dropout_ratio=self.dropout_ratio,
+                dtype=self.dtype,
+            )
 
         from .text_heads import SematicRes5ROIHeads, TextRes5ROIHeads
 
@@ -210,11 +220,17 @@ class GeneralizedRCNN(nn.Module):
                 aspect_ratios=self.anchor_aspect_ratios,
             )
         )
+        from .rpn import cell_anchors
+
         idx = 0 if train else 1
         proposals = select_top_proposals(
             jax.lax.stop_gradient(logits),
             jax.lax.stop_gradient(deltas),
-            anchors,
+            jnp.asarray(
+                cell_anchors(self.anchor_sizes, self.anchor_aspect_ratios)
+            ),
+            (h, w),
+            self.anchor_stride,
             images.hw,
             pre_nms_topk=self.rpn_pre_nms_topk[idx],
             post_nms_topk=self.rpn_post_nms_topk[idx],
