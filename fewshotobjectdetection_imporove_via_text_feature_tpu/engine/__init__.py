@@ -1,4 +1,15 @@
 from .trainer import Trainer, make_train_step, default_setup
 from .predictor import DefaultPredictor
+from .hooks import EvalHook
 
-__all__ = ["Trainer", "make_train_step", "default_setup", "DefaultPredictor"]
+# reference-name alias (defrcn/engine/defaults.py DefaultTrainer)
+DefaultTrainer = Trainer
+
+__all__ = [
+    "Trainer",
+    "DefaultTrainer",
+    "make_train_step",
+    "default_setup",
+    "DefaultPredictor",
+    "EvalHook",
+]
