@@ -230,7 +230,9 @@ def select_top_proposals(
         y2 = jnp.clip(pcy + 0.5 * ph, 0.0, img_h)
         valid = (x2 - x1 > min_size) & (y2 - y1 > min_size)
         boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
-        keep, order = nms_fixed(boxes, scores, valid, nms_thresh)
+        from ..ops.nms import nms_auto
+
+        keep, order = nms_auto(boxes, scores, valid, nms_thresh)
         # Enumerate kept boxes in score order, take first post_nms_topk.
         keep_sorted = keep[order]
         # positions of kept entries in sorted order

@@ -127,6 +127,24 @@ def nms_fixed(
     return keep[:n], order[:n]
 
 
+def nms_auto(boxes, scores, valid, iou_threshold):
+    """Backend-aware NMS: the Pallas VMEM kernel on TPU (no per-tile XLA
+    loop overhead), the XLA tiled version elsewhere (CPU tests, platforms
+    without Mosaic). Override with FSODTF_NMS=xla|pallas."""
+    import os
+
+    choice = os.environ.get("FSODTF_NMS", "auto")
+    use_pallas = (
+        choice == "pallas"
+        or (choice == "auto" and jax.default_backend() not in ("cpu",))
+    )
+    if use_pallas:
+        from .nms_pallas import nms_fixed_pallas
+
+        return nms_fixed_pallas(boxes, scores, valid, iou_threshold)
+    return nms_fixed(boxes, scores, valid, iou_threshold)
+
+
 def batched_nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -144,4 +162,4 @@ def batched_nms_fixed(
     max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
-    return nms_fixed(shifted, scores, valid, iou_threshold)
+    return nms_auto(shifted, scores, valid, iou_threshold)

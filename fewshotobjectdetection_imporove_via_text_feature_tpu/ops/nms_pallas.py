@@ -1,0 +1,155 @@
+"""Pallas TPU kernel for greedy NMS.
+
+The tiled-greedy algorithm of ops/nms.py, moved entirely into VMEM: one
+kernel invocation suppresses all N boxes without per-tile XLA loop
+overhead (~1.5 ms/tile measured through the XLA path on v5e).
+
+Boxes arrive score-sorted as component ROW vectors (8, N): rows 0..3 =
+x1, y1, x2, y2; row 4 = area; row 5 = valid. Per tile the kernel takes the
+lane-aligned (1, T) slice, transposes to (T, 1) (Mosaic handles the small
+2-D transpose), ORs cross-tile suppression from already-decided boxes, and
+resolves within-tile greedy suppression with a monotone fixpoint loop.
+
+Exactness: identical keep set to ops/nms.py (tested in interpret mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _nms_kernel(thresh, num_tiles, rows_ref, keep_ref):
+    """rows_ref: (8, N) f32; keep_ref: (8, N) f32 out (row 0 = keep)."""
+    n = rows_ref.shape[1]
+    t = TILE
+
+    x1r = rows_ref[0:1, :]
+    y1r = rows_ref[1:2, :]
+    x2r = rows_ref[2:3, :]
+    y2r = rows_ref[3:4, :]
+    arear = rows_ref[4:5, :]
+
+    col_pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    keep_ref[:] = jnp.zeros_like(keep_ref)
+
+    def col(v_1t):
+        return jax.lax.transpose(v_1t, (1, 0))  # (1, T) -> (T, 1)
+
+    def tile_body(i, _):
+        s = pl.multiple_of(i * t, TILE)
+        tx1 = rows_ref[0:1, pl.ds(s, t)]
+        ty1 = rows_ref[1:2, pl.ds(s, t)]
+        tx2 = rows_ref[2:3, pl.ds(s, t)]
+        ty2 = rows_ref[3:4, pl.ds(s, t)]
+        tarea = rows_ref[4:5, pl.ds(s, t)]
+        tvalid_row = rows_ref[5:6, pl.ds(s, t)]
+
+        ax1, ay1, ax2, ay2 = col(tx1), col(ty1), col(tx2), col(ty2)
+        aarea = col(tarea)
+
+        # IoU of this tile (rows) vs ALL boxes (cols): (T, N)
+        iw = jnp.maximum(jnp.minimum(ax2, x2r) - jnp.maximum(ax1, x1r), 0.0)
+        ih = jnp.maximum(jnp.minimum(ay2, y2r) - jnp.maximum(ay1, y1r), 0.0)
+        inter = iw * ih
+        iou = inter / jnp.maximum(aarea + arear - inter, 1e-12)
+        sup = iou > thresh  # (T, N)
+
+        # cross-tile: suppressed by any kept box strictly before this tile
+        earlier = (keep_ref[0:1, :] > 0.5) & (col_pos < s)  # (1, N)
+        sup_early = jnp.any(sup & earlier, axis=1, keepdims=True)  # (T, 1)
+        active = (col(tvalid_row) > 0.5) & ~sup_early  # (T, 1)
+
+        # within-tile (T, T) suppression
+        tiw = jnp.maximum(jnp.minimum(ax2, tx2) - jnp.maximum(ax1, tx1), 0.0)
+        tih = jnp.maximum(jnp.minimum(ay2, ty2) - jnp.maximum(ay1, ty1), 0.0)
+        tinter = tiw * tih
+        tiou = tinter / jnp.maximum(aarea + tarea - tinter, 1e-12)
+        r_idx = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        c_idx = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        sup_tile = (tiou > thresh) & (r_idx < c_idx)
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            keep, _ = state  # (T, 1) 0/1 floats
+            # suppressed[c] = any_r(sup_tile[r, c] & keep[r])
+            suppressed = jnp.max(
+                jnp.where(sup_tile, jnp.broadcast_to(keep, (t, t)), 0.0),
+                axis=0, keepdims=True,
+            )  # (1, T)
+            new_keep = jnp.where(
+                active & (col(suppressed) < 0.5), 1.0, 0.0
+            )
+            return new_keep, jnp.any(new_keep != keep)
+
+        keep0 = jnp.where(active, 1.0, 0.0)
+        keep_tile, _ = jax.lax.while_loop(
+            cond, body, (keep0, jnp.bool_(True))
+        )  # (T, 1)
+
+        keep_ref[0:1, pl.ds(s, t)] = jax.lax.transpose(keep_tile, (1, 0))
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+
+
+def nms_pallas_sorted(
+    boxes_sorted: jnp.ndarray,   # (N, 4) score-descending
+    valid_sorted: jnp.ndarray,   # (N,)
+    iou_threshold: float,
+    interpret: bool = False,
+):
+    """Keep mask (N,) bool for pre-sorted boxes; N padded to TILE inside."""
+    n0 = boxes_sorted.shape[0]
+    pad = (-n0) % TILE
+    if pad:
+        boxes_sorted = jnp.pad(boxes_sorted, ((0, pad), (0, 0)))
+        valid_sorted = jnp.pad(valid_sorted, (0, pad))
+    n = boxes_sorted.shape[0]
+    num_tiles = n // TILE
+
+    x1 = boxes_sorted[:, 0]
+    y1 = boxes_sorted[:, 1]
+    x2 = boxes_sorted[:, 2]
+    y2 = boxes_sorted[:, 3]
+    area = (x2 - x1) * (y2 - y1)
+    vf = valid_sorted.astype(jnp.float32)
+
+    rows = jnp.stack(
+        [x1, y1, x2, y2, area, vf, jnp.zeros_like(x1), jnp.zeros_like(x1)],
+        axis=0,
+    )  # (8, N)
+
+    kernel = partial(_nms_kernel, float(iou_threshold), num_tiles)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows)
+    return out[0, :n0] > 0.5
+
+
+def nms_fixed_pallas(boxes, scores, valid, iou_threshold, interpret=False):
+    """Drop-in for ops.nms.nms_fixed backed by the Pallas kernel."""
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(
+        -jnp.where(valid, scores, neg_inf), stable=True
+    ).astype(jnp.int32)
+    keep_sorted = nms_pallas_sorted(
+        boxes[order], valid[order], iou_threshold, interpret=interpret
+    )
+    n = boxes.shape[0]
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep, order
