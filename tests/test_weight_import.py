@@ -1,0 +1,170 @@
+"""Weight import: Caffe2 .pkl and torchvision name translation land on the
+right parameters with the right layout conversions."""
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.torch_import import (
+    _c2_to_ours,
+    _d2_to_ours,
+    apply_weight_dict,
+    load_reference_weights,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.archs import (
+    tv_translate,
+)
+
+
+def test_c2_name_translation():
+    cases = {
+        "conv1_w": (("backbone", "stem_conv1", "kernel"), "conv"),
+        "res_conv1_bn_s": (("backbone", "stem_bn1", "weight"), "bn"),
+        "res2_0_branch2a_w": (
+            ("backbone", "res2", "block0", "conv1", "kernel"), "conv",
+        ),
+        "res2_0_branch2a_bn_b": (
+            ("backbone", "res2", "block0", "bn1", "bias"), "bn",
+        ),
+        "res3_1_branch2c_w": (
+            ("backbone", "res3", "block1", "conv3", "kernel"), "conv",
+        ),
+        "res4_22_branch1_w": (
+            ("backbone", "res4", "block22", "shortcut", "kernel"), "conv",
+        ),
+        "res5_0_branch1_bn_s": (
+            ("roi_heads", "res5", "res5", "block0", "shortcut_bn", "weight"),
+            "bn",
+        ),
+    }
+    for name, expected in cases.items():
+        assert _c2_to_ours(name) == expected, name
+
+
+def test_d2_name_translation():
+    cases = {
+        "backbone.stem.conv1.weight": (
+            ("backbone", "stem_conv1", "kernel"), "conv",
+        ),
+        "backbone.res2.0.conv2.norm.running_mean": (
+            ("backbone", "res2", "block0", "bn2", "running_mean"), "bn",
+        ),
+        "roi_heads.res5.2.shortcut.weight": (
+            ("roi_heads", "res5", "res5", "block2", "shortcut", "kernel"),
+            "conv",
+        ),
+        "proposal_generator.rpn_head.conv.weight": (
+            ("rpn_head", "conv", "kernel"), "conv",
+        ),
+        "roi_heads.box_predictor.cls_score.weight": (
+            ("roi_heads", "box_predictor", "cls_score", "kernel"), "linear",
+        ),
+        "affine_rpn.weight": (("affine_rpn", "weight"), "affine"),
+    }
+    for name, expected in cases.items():
+        assert _d2_to_ours(name) == expected, name
+    # res5 blocks must not be claimed by the backbone branch
+    path, kind = _d2_to_ours("roi_heads.res5.0.conv1.norm.weight")
+    assert path == ("roi_heads", "res5", "res5", "block0", "bn1", "weight")
+
+
+def test_tv_translation():
+    assert tv_translate("conv1.weight") == (("conv1", "kernel"), "conv")
+    assert tv_translate("layer3.5.bn2.running_var") == (
+        ("layer3", "block5", "bn2", "running_var"), "bn",
+    )
+    assert tv_translate("layer1.0.downsample.0.weight") == (
+        ("layer1", "block0", "shortcut", "kernel"), "conv",
+    )
+    assert tv_translate("layer1.0.downsample.1.bias") == (
+        ("layer1", "block0", "shortcut_bn", "bias"), "bn",
+    )
+    assert tv_translate("fc.weight") == (("fc", "kernel"), "linear")
+
+
+def test_c2_pkl_roundtrip_into_model(tmp_path):
+    """Build a tiny model, fabricate a Caffe2 pkl with matching shapes,
+    load it, verify values land transposed correctly."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models import (
+        GeneralizedRCNN,
+    )
+    from tests.test_model_smoke import tiny_batch, tiny_model
+
+    model = tiny_model()
+    images, gt = tiny_batch()
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        images, gt,
+    )
+    params = jax.device_get(variables["params"])
+
+    stem_shape = params["backbone"]["stem_conv1"]["kernel"].shape  # HWIO
+    rng = np.random.RandomState(0)
+    conv1_w = rng.randn(
+        stem_shape[3], stem_shape[2], stem_shape[0], stem_shape[1]
+    ).astype(np.float32)  # OIHW
+    bn_s = rng.randn(stem_shape[3]).astype(np.float32)
+
+    blobs = {"conv1_w": conv1_w, "res_conv1_bn_s": bn_s}
+    pkl = tmp_path / "R-tiny.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    new, matched, skipped = load_reference_weights(str(pkl), params)
+    assert matched == 2
+    np.testing.assert_allclose(
+        new["backbone"]["stem_conv1"]["kernel"],
+        conv1_w.transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(
+        new["backbone"]["stem_bn1"]["weight"], bn_s
+    )
+    # untouched params stay
+    np.testing.assert_allclose(
+        new["rpn_head"]["conv"]["kernel"],
+        params["rpn_head"]["conv"]["kernel"],
+    )
+
+
+def test_surgery_coco_idmap():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery import (
+        COCO_BASE_IDS,
+        COCO_IDMAP,
+        surgery_randinit,
+    )
+
+    d = 16
+    k_base = 60
+    rng = np.random.RandomState(0)
+    params = {
+        "roi_heads": {
+            "box_predictor": {
+                "cls_score": {
+                    "kernel": rng.randn(d, k_base + 1).astype(np.float32),
+                    "bias": rng.randn(k_base + 1).astype(np.float32),
+                },
+                "bbox_pred": {
+                    "kernel": rng.randn(d, k_base * 4).astype(np.float32),
+                    "bias": rng.randn(k_base * 4).astype(np.float32),
+                },
+            }
+        }
+    }
+    out = surgery_randinit(params, 80, dataset="coco")
+    ck = out["roi_heads"]["box_predictor"]["cls_score"]["kernel"]
+    assert ck.shape == (d, 81)
+    old = params["roi_heads"]["box_predictor"]["cls_score"]["kernel"]
+    for idx, cid in enumerate(COCO_BASE_IDS):
+        np.testing.assert_allclose(ck[:, COCO_IDMAP[cid]], old[:, idx])
+    np.testing.assert_allclose(ck[:, -1], old[:, -1])  # bg
+    bk = out["roi_heads"]["box_predictor"]["bbox_pred"]["kernel"]
+    oldb = params["roi_heads"]["box_predictor"]["bbox_pred"]["kernel"]
+    cid0 = COCO_BASE_IDS[0]
+    np.testing.assert_allclose(
+        bk[:, COCO_IDMAP[cid0] * 4 : COCO_IDMAP[cid0] * 4 + 4], oldb[:, :4]
+    )
