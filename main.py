@@ -33,7 +33,7 @@ def default_argument_parser():
     parser.add_argument("--machine-rank", type=int, default=0)
     parser.add_argument("--dist-url", default="auto")
     parser.add_argument(
-        "opts", default=None, nargs=argparse.REMAINDER,
+        "--opts", default=[], nargs=argparse.REMAINDER,
         help="Modify config options via 'KEY VALUE' pairs",
     )
     return parser
@@ -141,6 +141,14 @@ def do_test(cfg, params=None, model=None):
 
 
 def main():
+    # optional platform override (e.g. FSODTF_PLATFORM=cpu for smoke runs —
+    # env JAX_PLATFORMS alone is pre-empted by the container sitecustomize)
+    platform = os.environ.get("FSODTF_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     args = default_argument_parser().parse_args()
     cfg = setup(args)
 
