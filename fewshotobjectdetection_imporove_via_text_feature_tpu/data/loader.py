@@ -108,17 +108,33 @@ def build_detection_train_loader(
     )
     batch_size = cfg.SOLVER.IMS_PER_BATCH
 
+    num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
+
     def generate():
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = np.random.RandomState(seed)
         groups: Dict[tuple, List] = {}
-        for epoch in itertools.count():
-            order = rng.permutation(len(dicts))
-            for i in order:
-                item = mapper(dicts[int(i)], rng)
-                key = item["bucket"]
-                groups.setdefault(key, []).append(item)
-                if len(groups[key]) == batch_size:
-                    yield _stack_batch(groups.pop(key))
+        with ThreadPoolExecutor(num_workers) as pool:
+            for epoch in itertools.count():
+                order = rng.permutation(len(dicts))
+
+                def load(args):
+                    pos, i = args
+                    # per-item deterministic rng (reproducible under
+                    # thread-pool reordering)
+                    r = np.random.RandomState(
+                        (seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
+                    )
+                    return mapper(dicts[int(i)], r)
+
+                for item in pool.map(
+                    load, enumerate(order), chunksize=4
+                ):
+                    key = item["bucket"]
+                    groups.setdefault(key, []).append(item)
+                    if len(groups[key]) == batch_size:
+                        yield _stack_batch(groups.pop(key))
 
     return _Prefetcher(generate) if prefetch else generate()
 
@@ -139,15 +155,19 @@ def build_detection_test_loader(
         random_flip=False,
     )
 
+    num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
+
     def generate():
-        rng = np.random.RandomState(0)
+        from concurrent.futures import ThreadPoolExecutor
+
         groups: Dict[tuple, List] = {}
-        for rec in dicts:
-            item = mapper(rec, rng)
-            key = item["bucket"]
-            groups.setdefault(key, []).append(item)
-            if len(groups[key]) == batch_size:
-                yield _stack_batch(groups.pop(key))
+        with ThreadPoolExecutor(num_workers) as pool:
+            rngs = [np.random.RandomState(i) for i in range(len(dicts))]
+            for item in pool.map(mapper, dicts, rngs, chunksize=4):
+                key = item["bucket"]
+                groups.setdefault(key, []).append(item)
+                if len(groups[key]) == batch_size:
+                    yield _stack_batch(groups.pop(key))
         for key, items in groups.items():
             while len(items) < batch_size:
                 pad = dict(items[-1])

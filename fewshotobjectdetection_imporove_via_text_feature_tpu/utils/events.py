@@ -14,15 +14,31 @@ logger = logging.getLogger("fsodtf_tpu")
 
 
 class MetricsLogger:
-    def __init__(self, output_dir: str):
+    """stdout + metrics.json + (if available) TensorBoard — the reference's
+    CommonMetricPrinter/JSONWriter/TensorboardXWriter trio
+    (defaults.py:371-377)."""
+
+    def __init__(self, output_dir: str, tensorboard: bool = True):
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "metrics.json")
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=output_dir)
+            except Exception:  # tensorboard optional
+                self._tb = None
 
     def log(self, iteration: int, scalars: Dict[str, float]):
         rec = {"iteration": iteration, **{k: float(v) for k, v in scalars.items()}}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "iteration":
+                    self._tb.add_scalar(k, v, iteration)
         msg = "  ".join(
             f"{k}: {v:.4g}" for k, v in rec.items() if k != "iteration"
         )
