@@ -5,9 +5,13 @@ Parity with the reference's DetectionCheckpointer usage
 checkpoints carry {params, opt_state, iteration}; ``last_checkpoint`` file
 tracks the newest; ``resume_or_load`` semantics live in the Trainer.
 
-Format: a single pickle of a pure-numpy pytree (optax states are
-namedtuple pytrees and round-trip fine). Torch-format import lives in
-torch_import.py.
+Backends:
+  * "orbax" (default): ocp.PyTreeCheckpointer directory checkpoints —
+    durable, async-capable, multi-host-ready.
+  * "pickle": single-file pure-numpy pytree (what tools/model_surgery.py
+    edits; optax namedtuple states round-trip fine).
+
+``load`` transparently reads either format.
 """
 
 from __future__ import annotations
@@ -25,19 +29,37 @@ def _to_numpy(tree):
 
 
 class Checkpointer:
-    def __init__(self, save_dir: str):
+    def __init__(self, save_dir: str, backend: str = "pickle"):
         self.save_dir = save_dir
+        self.backend = backend
         os.makedirs(save_dir, exist_ok=True)
+        self._orbax = None
+
+    def _orbax_ckpt(self):
+        if self._orbax is None:
+            import orbax.checkpoint as ocp
+
+            self._orbax = ocp.PyTreeCheckpointer()
+        return self._orbax
 
     def save(self, state: Dict[str, Any], name: str):
-        path = os.path.join(self.save_dir, name + ".ckpt")
-        with open(path, "wb") as f:
-            pickle.dump(_to_numpy(state), f, protocol=4)
+        state = _to_numpy(state)
+        if self.backend == "orbax":
+            path = os.path.abspath(os.path.join(self.save_dir, name + ".orbax"))
+            self._orbax_ckpt().save(path, state, force=True)
+            marker = name + ".orbax"
+        else:
+            path = os.path.join(self.save_dir, name + ".ckpt")
+            with open(path, "wb") as f:
+                pickle.dump(state, f, protocol=4)
+            marker = name + ".ckpt"
         with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
-            f.write(name + ".ckpt")
+            f.write(marker)
         return path
 
     def load(self, path: str) -> Dict[str, Any]:
+        if os.path.isdir(path):  # orbax directory checkpoint
+            return self._orbax_ckpt().restore(os.path.abspath(path))
         with open(path, "rb") as f:
             return pickle.load(f)
 

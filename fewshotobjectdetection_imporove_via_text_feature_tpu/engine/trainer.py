@@ -116,7 +116,9 @@ class Trainer:
             make_train_step(self.model, self.tx), donate_argnums=(0, 1)
         )
 
-        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+        self.checkpointer = Checkpointer(
+            cfg.OUTPUT_DIR, backend=cfg.TPU.CHECKPOINT_BACKEND
+        )
         self.metrics = MetricsLogger(cfg.OUTPUT_DIR)
         self.hooks = []
 
@@ -125,12 +127,23 @@ class Trainer:
             loaded = self.checkpointer.load_latest()
             if loaded is not None:
                 self.params = replicate(self.mesh, loaded["params"])
-                if "opt_state" in loaded and loaded["opt_state"] is not None:
-                    self.opt_state = jax.tree_util.tree_map(
-                        lambda ref, new: jnp.asarray(new),
-                        self.opt_state,
-                        replicate(self.mesh, loaded["opt_state"]),
-                    )
+                restored = loaded.get("opt_state")
+                if restored is not None:
+                    try:
+                        new_state = jax.tree_util.tree_map(
+                            lambda ref, new: jnp.asarray(new),
+                            self.opt_state,
+                            restored,
+                        )
+                    except ValueError:
+                        # orbax restores namedtuple states as plain dicts;
+                        # map them back onto the live optax structure
+                        from flax import serialization
+
+                        new_state = serialization.from_state_dict(
+                            self.opt_state, restored
+                        )
+                    self.opt_state = replicate(self.mesh, new_state)
                 self.start_iter = int(loaded.get("iteration", 0)) + 1
 
     def train(self):

@@ -18,3 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-heavy (many tiny-model
+# program variants); repeat runs hit the cache and finish in ~1/5 the time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fsodtf_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
