@@ -215,3 +215,8 @@ _C.TPU.PROFILE_START_STEP = -1   # step to start a jax.profiler trace (-1 off)
 _C.TPU.PROFILE_NUM_STEPS = 5
 _C.TPU.DEBUG_NANS = False        # jax debug_nans mode (slow; debugging only)
 _C.TPU.CHECKPOINT_BACKEND = "pickle"  # pickle | orbax
+# Fused device-side preprocessing: loader ships RAW pixels (padded to a
+# RAW_BUCKETS source bucket); resize/flip run on the TPU inside the train
+# step (data/xla_preprocess.py).
+_C.TPU.DEVICE_PREPROCESS = False
+_C.TPU.RAW_BUCKETS = ((384, 512), (512, 512), (512, 768), (768, 1024))

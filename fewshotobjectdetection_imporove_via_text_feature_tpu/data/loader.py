@@ -54,6 +54,10 @@ def _stack_batch(items: List[Dict]):
         "image_ids": [it["image_id"] for it in items],
         "valid_count": sum(1 for it in items if not it.get("_pad", False)),
     }
+    if "short" in items[0]:  # device-preprocess mode extras
+        meta["short"] = np.asarray([it["short"] for it in items], np.float32)
+        meta["flip"] = np.asarray([it["flip"] for it in items], bool)
+        meta["target_hw"] = items[0]["target_hw"]
     return images, gt, meta
 
 
@@ -105,6 +109,8 @@ def build_detection_train_loader(
         max_gt=cfg.TPU.MAX_GT,
         image_format=cfg.INPUT.FORMAT,
         random_flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
+        device_preprocess=cfg.TPU.DEVICE_PREPROCESS,
+        raw_buckets=cfg.TPU.RAW_BUCKETS,
     )
     batch_size = cfg.SOLVER.IMS_PER_BATCH
 

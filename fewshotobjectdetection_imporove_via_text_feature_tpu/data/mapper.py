@@ -57,6 +57,8 @@ class DatasetMapper:
         image_format: str = "BGR",
         random_flip: bool = True,
         filter_difficult: bool = True,
+        device_preprocess: bool = False,
+        raw_buckets: Sequence[Tuple[int, int]] = (),
     ):
         self.is_train = is_train
         self.min_sizes = (
@@ -68,8 +70,74 @@ class DatasetMapper:
         self.image_format = image_format
         self.random_flip = random_flip and is_train
         self.filter_difficult = filter_difficult
+        self.device_preprocess = device_preprocess
+        self.raw_buckets = list(raw_buckets)
 
     def __call__(self, record: Dict, rng: np.random.RandomState):
+        if self.device_preprocess:
+            return self._call_raw(record, rng)
+        return self._call_host(record, rng)
+
+    def _call_raw(self, record: Dict, rng: np.random.RandomState):
+        """Device-preprocess mode: emit RAW pixels in a source bucket plus
+        the resize plan; pixels are resized/flipped on the TPU
+        (data/xla_preprocess.py)."""
+        from .xla_preprocess import scale_boxes
+
+        img = Image.open(record["file_name"]).convert("RGB")
+        w0, h0 = img.size
+        arr = np.asarray(img, np.float32)
+        if self.image_format == "BGR":
+            arr = arr[:, :, ::-1]
+
+        short = (
+            self.min_sizes[rng.randint(len(self.min_sizes))]
+            if self.is_train
+            else self.min_sizes[0]
+        )
+        nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
+        flip = bool(self.random_flip and rng.rand() < 0.5)
+
+        annos = record.get("annotations", [])
+        boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
+        classes = np.array(
+            [a["category_id"] for a in annos], np.int64
+        ).reshape(-1)
+        if len(boxes):
+            boxes = scale_boxes(boxes, (h0, w0), (nh, nw), flip)
+            keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            boxes, classes = boxes[keep], classes[keep]
+
+        rbh, rbw = pick_bucket(h0, w0, self.raw_buckets or self.buckets)
+        raw = np.zeros((rbh, rbw, 3), np.float32)
+        raw[:h0, :w0] = arr
+        tbh, tbw = pick_bucket(nh, nw, self.buckets)
+
+        g = self.max_gt
+        gt_boxes = np.zeros((g, 4), np.float32)
+        gt_classes = np.zeros((g,), np.int32)
+        gt_valid = np.zeros((g,), bool)
+        n = min(len(boxes), g)
+        gt_boxes[:n] = boxes[:n]
+        gt_classes[:n] = classes[:n]
+        gt_valid[:n] = True
+
+        return {
+            "image": raw,
+            "hw": np.array([nh, nw], np.int32),
+            "orig_hw": np.array([h0, w0], np.int32),
+            "bucket": (rbh, rbw, tbh, tbw),
+            "target_hw": (tbh, tbw),
+            "short": np.float32(short),
+            "flip": flip,
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_valid": gt_valid,
+            "image_id": record.get("image_id"),
+            "flipped": flip,
+        }
+
+    def _call_host(self, record: Dict, rng: np.random.RandomState):
         img = Image.open(record["file_name"]).convert("RGB")
         w0, h0 = img.size
 

@@ -1,0 +1,102 @@
+"""Device-side fused preprocessing (BASELINE north star: "image
+preprocessing (resize/normalize/augment) fuses into an XLA-compiled input
+pipeline").
+
+The host loader only decodes JPEGs and pads the RAW pixels into a source
+bucket; resize-shortest-edge (per-image dynamic scale, static output
+shape via jax.image.scale_and_translate), horizontal flip, and pixel
+normalization all run on the TPU in one jit program. The reference does
+all of this per image in Python/PIL on the host
+(defrcn/dataloader/dataset_mapper.py:18-180).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_size", "out_hw"),
+)
+def device_resize_batch(
+    raw: jnp.ndarray,       # (B, Hs, Ws, 3) uint8/float — raw pixels padded
+    orig_hw: jnp.ndarray,   # (B, 2) valid (h, w) within raw
+    flip: jnp.ndarray,      # (B,) bool
+    short,                  # scalar or (B,) — per-image for multi-scale train
+    max_size: int,
+    out_hw: Tuple[int, int],
+):
+    """ResizeShortestEdge + hflip into a fixed (B, H, W, 3) canvas.
+
+    Returns (images float32 (B, H, W, 3), new_hw (B, 2) int32).
+    detectron2 scale rule: scale = short / min(h, w), then shrink to keep
+    max(h, w) * scale <= max_size; output rounded like the host mapper.
+    """
+    oh, ow = out_hw
+    short = jnp.broadcast_to(
+        jnp.asarray(short, jnp.float32), (raw.shape[0],)
+    )
+
+    def per_image(img, hw, fl, sh):
+        h = hw[0].astype(jnp.float32)
+        w = hw[1].astype(jnp.float32)
+        scale = sh / jnp.minimum(h, w)
+        scale = jnp.minimum(scale, max_size / jnp.maximum(h, w))
+        newh = jnp.floor(h * scale + 0.5)
+        neww = jnp.floor(w * scale + 0.5)
+        # effective scale after rounding (matches PIL resize of the host
+        # path up to resampling differences)
+        sy = newh / h
+        sx = neww / w
+
+        img = img.astype(jnp.float32)
+        # flip within the VALID region: x -> w - 1 - x
+        flipped = jnp.flip(img, axis=1)
+        ws = img.shape[1]
+        shift = ws - hw[1]
+        flipped = jnp.roll(flipped, -shift, axis=1)
+        img = jnp.where(fl, flipped, img)
+
+        out = jax.image.scale_and_translate(
+            img,
+            shape=(oh, ow, 3),
+            spatial_dims=(0, 1),
+            scale=jnp.stack([sy, sx]),
+            translation=jnp.zeros((2,), jnp.float32),
+            method="linear",
+            antialias=False,
+        )
+        # zero out beyond the valid resized extent
+        yy = jnp.arange(oh, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(ow, dtype=jnp.float32)[None, :]
+        mask = (yy < newh) & (xx < neww)
+        out = out * mask[..., None]
+        return out, jnp.stack([newh, neww]).astype(jnp.int32)
+
+    return jax.vmap(per_image)(raw, orig_hw, flip, short)
+
+
+def scale_boxes(boxes, orig_hw, new_hw, flip):
+    """Host-side GT box transform matching device_resize_batch.
+
+    boxes (G, 4) in original coords; returns resized/flipped boxes.
+    """
+    import numpy as np
+
+    h0, w0 = float(orig_hw[0]), float(orig_hw[1])
+    h1, w1 = float(new_hw[0]), float(new_hw[1])
+    sy, sx = h1 / h0, w1 / w0
+    b = np.asarray(boxes, np.float32).copy()
+    if flip:
+        x1 = w0 - b[:, 2]
+        x2 = w0 - b[:, 0]
+        b[:, 0], b[:, 2] = x1, x2
+    b *= np.array([sx, sy, sx, sy], np.float32)
+    b[:, 0::2] = b[:, 0::2].clip(0, w1)
+    b[:, 1::2] = b[:, 1::2].clip(0, h1)
+    return b

@@ -39,20 +39,28 @@ def default_setup(cfg, args=None):
     return seed
 
 
-def make_train_step(model, tx):
-    """Returns jit(train_step)(params, opt_state, images, gt, rng, step)."""
+def make_train_step(model, tx, preprocess=None):
+    """Returns train_step(params, opt_state, images, gt, rng, step
+    [, short, flip]).
+
+    With ``preprocess=(max_size, out_hw)`` the batch arrives as RAW pixels
+    and resize/flip fuse into the same jit program
+    (TPU.DEVICE_PREPROCESS; data/xla_preprocess.py).
+    """
+
+    def _forward(params, images, gt, srng, drng):
+        losses = model.apply(
+            {"params": params}, images, gt, train=True,
+            rngs={"sampling": srng, "dropout": drng},
+        )
+        return sum(losses.values()), losses
 
     def train_step(params, opt_state, images, gt, rng, step):
         step_rng = jax.random.fold_in(rng, step)
         srng, drng = jax.random.split(step_rng)
 
         def loss_fn(p):
-            losses = model.apply(
-                {"params": p}, images, gt, train=True,
-                rngs={"sampling": srng, "dropout": drng},
-            )
-            total = sum(losses.values())
-            return total, losses
+            return _forward(p, images, gt, srng, drng)
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
@@ -62,7 +70,21 @@ def make_train_step(model, tx):
         losses["total_loss"] = total
         return params, opt_state, losses
 
-    return train_step
+    if preprocess is None:
+        return train_step
+
+    max_size, out_hw = preprocess
+
+    def train_step_raw(params, opt_state, images, gt, rng, step, short, flip):
+        from ..data.xla_preprocess import device_resize_batch
+
+        resized, _ = device_resize_batch(
+            images.image, images.orig_hw, flip, short, max_size, out_hw
+        )
+        images = images.replace(image=resized)
+        return train_step(params, opt_state, images, gt, rng, step)
+
+    return train_step_raw
 
 
 class Trainer:
@@ -115,6 +137,7 @@ class Trainer:
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx), donate_argnums=(0, 1)
         )
+        self._raw_steps = {}  # target_hw -> jitted device-preprocess step
 
         self.checkpointer = Checkpointer(
             cfg.OUTPUT_DIR, backend=cfg.TPU.CHECKPOINT_BACKEND
@@ -164,12 +187,32 @@ class Trainer:
                 jax.profiler.start_trace(
                     os.path.join(cfg.OUTPUT_DIR, "profile")
                 )
-            images, gt, _ = next(data_iter)
+            images, gt, meta = next(data_iter)
             images_d, gt_d = shard_batch(self.mesh, (images, gt))
 
-            params, self.opt_state, losses = self._train_step(
-                params, self.opt_state, images_d, gt_d, rng, it
-            )
+            if cfg.TPU.DEVICE_PREPROCESS:
+                key = tuple(meta["target_hw"])
+                fn = self._raw_steps.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        make_train_step(
+                            self.model, self.tx,
+                            preprocess=(cfg.INPUT.MAX_SIZE_TRAIN, key),
+                        ),
+                        donate_argnums=(0, 1),
+                    )
+                    self._raw_steps[key] = fn
+                short_d, flip_d = shard_batch(
+                    self.mesh, (meta["short"], meta["flip"])
+                )
+                params, self.opt_state, losses = fn(
+                    params, self.opt_state, images_d, gt_d, rng, it,
+                    short_d, flip_d,
+                )
+            else:
+                params, self.opt_state, losses = self._train_step(
+                    params, self.opt_state, images_d, gt_d, rng, it
+                )
 
             if it % 20 == 0 or it == self.max_iter - 1:
                 losses = {k: float(v) for k, v in losses.items()}
