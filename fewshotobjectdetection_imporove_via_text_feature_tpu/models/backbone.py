@@ -160,6 +160,7 @@ class ResNetC4(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     freeze_at: int = 0  # 1 = stem, 2 = +res2, 3 = +res3, 4 = +res4
+    remat: bool = False  # rematerialize stages on backward (saves HBM)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -178,11 +179,12 @@ class ResNetC4(nn.Module):
         blocks = RESNET_STAGES[self.depth]
         bottleneck = self.num_groups * self.width_per_group  # 64
         out_ch = self.res2_out_channels  # 256
+        stage_cls = nn.remat(ResStage) if self.remat else ResStage
         feats = {}
         for stage_idx, (name, n) in enumerate(
             zip(("res2", "res3", "res4"), blocks[:3])
         ):
-            x = ResStage(
+            x = stage_cls(
                 num_blocks=n,
                 bottleneck_channels=bottleneck * (2**stage_idx),
                 out_channels=out_ch * (2**stage_idx),

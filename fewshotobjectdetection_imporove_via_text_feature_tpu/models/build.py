@@ -36,6 +36,7 @@ def _common_kwargs(cfg):
         stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
         res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
         width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        remat_backbone=cfg.TPU.REMAT_BACKBONE,
         freeze_at=freeze_at,
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE,
         freeze_rpn=cfg.MODEL.RPN.FREEZE,

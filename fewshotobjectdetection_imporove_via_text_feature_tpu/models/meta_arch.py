@@ -64,6 +64,7 @@ class GeneralizedRCNN(nn.Module):
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     width_per_group: int = 64
+    remat_backbone: bool = False
     freeze_at: int = 3
     freeze_backbone: bool = False
     freeze_rpn: bool = False
@@ -111,6 +112,7 @@ class GeneralizedRCNN(nn.Module):
             res2_out_channels=self.res2_out_channels,
             width_per_group=self.width_per_group,
             freeze_at=self.freeze_at,
+            remat=self.remat_backbone,
             dtype=self.dtype,
         )
         num_anchors = len(self.anchor_sizes) * len(self.anchor_aspect_ratios)

@@ -145,3 +145,21 @@ def test_rpn_stop_gradient_lambda_zero():
     )
     assert backbone_grad == 0.0  # both branches decoupled at lambda=0
     assert rpn_grad > 0.0
+
+
+def test_remat_backbone_matches():
+    """remat=True must not change forward losses (only backward memory)."""
+    model_a = tiny_model()
+    model_b = tiny_model(remat_backbone=True)
+    images, gt = tiny_batch()
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
+    pa = jax.jit(functools.partial(model_a.init, train=True))(rngs, images, gt)
+    pb = jax.jit(functools.partial(model_b.init, train=True))(rngs, images, gt)
+    la = jax.jit(functools.partial(model_a.apply, train=True))(
+        pa, images, gt, rngs={"sampling": jax.random.PRNGKey(2)}
+    )
+    lb = jax.jit(functools.partial(model_b.apply, train=True))(
+        pb, images, gt, rngs={"sampling": jax.random.PRNGKey(2)}
+    )
+    for k in la:
+        np.testing.assert_allclose(float(la[k]), float(lb[k]), rtol=1e-5)
