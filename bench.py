@@ -57,6 +57,8 @@ def build():
 
 
 def main(cpu_baseline: bool = False):
+    import os
+
     batch = 1 if cpu_baseline else BATCH
     model = build()
     images = make_inputs(batch)
@@ -65,8 +67,14 @@ def main(cpu_baseline: bool = False):
     variables = init({"params": jax.random.PRNGKey(0)}, images)
 
     apply_fn = jax.jit(lambda v, i: model.apply(v, i, train=False))
-    # compile + warmup
-    out = jax.block_until_ready(apply_fn(variables, images))
+    # compile + warmup; if the Pallas NMS path ever fails to compile on
+    # this backend, fall back to the XLA tiled NMS rather than dying
+    try:
+        out = jax.block_until_ready(apply_fn(variables, images))
+    except Exception:
+        os.environ["FSODTF_NMS"] = "xla"
+        apply_fn = jax.jit(lambda v, i: model.apply(v, i, train=False))
+        out = jax.block_until_ready(apply_fn(variables, images))
     jax.block_until_ready(apply_fn(variables, images))
 
     # The TPU behind the tunnel is time-shared with other tenants and

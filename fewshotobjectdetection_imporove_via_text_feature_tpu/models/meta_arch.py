@@ -335,8 +335,33 @@ class GeneralizedRCNN(nn.Module):
         feat_rpn, feat_rcnn = self.branch_features(feat)
         _, _, _, proposals = self.run_rpn(feat_rpn, images, train=False)
 
+        # Teacher evaluation: when GT is provided at test time, label every
+        # proposal with its matched class (no sampling) so the text-guided
+        # teacher head can run (ref label_proposals, roi_heads.py:677-713).
+        head_kwargs = {}
+        if gt is not None:
+            from ..ops import match_proposals, pairwise_iou
+
+            def label_img(pboxes, pvalid, g):
+                iou = pairwise_iou(g.boxes, pboxes)
+                iou = jnp.where(pvalid[None, :], iou, 0.0)
+                midx, mlab = match_proposals(
+                    iou, g.valid, [self.roi_iou_threshold], [0, 1], False
+                )
+                cls = jnp.where(
+                    jnp.any(g.valid), g.classes[midx], self.num_classes
+                )
+                cls = jnp.where(mlab == 0, self.num_classes, cls)
+                return cls
+
+            gt_cls = jax.vmap(label_img)(proposals.boxes, proposals.valid, gt)
+            head_kwargs = {
+                "gt_classes": gt_cls.reshape(-1),
+                "valid": proposals.valid.reshape(-1),
+            }
+
         scores, deltas, _ = self.roi_heads(
-            feat_rcnn, proposals.boxes, train=False
+            feat_rcnn, proposals.boxes, train=False, **head_kwargs
         )
         b, p = proposals.boxes.shape[:2]
         scores = scores.reshape(b, p, -1)

@@ -229,6 +229,13 @@ class TextRes5ROIHeads(Res5ROIHeads):
                  gt_classes=None, valid=None):
         feat = self.pooled_features(features, boxes)
         if not train:
+            if gt_classes is not None:
+                # teacher evaluation with GT-labeled proposals
+                # (ref forward path via label_proposals, roi_heads.py:780-782)
+                t_scores, t_deltas, _, _ = self.forward_teacher(
+                    feat, gt_classes, train=False
+                )
+                return t_scores, t_deltas, {}
             s_scores, s_deltas, _ = self.forward_student(
                 feat, None, None, None, train=False
             )

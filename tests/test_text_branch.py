@@ -158,3 +158,32 @@ def test_siamese_attention_shapes():
     assert out.shape == (2, 7, 32)
     assert attn.shape == (2, 7, 6)  # K gets the dummy token
     assert np.allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_teacher_evaluation_with_gt():
+    """Inference with GT provided runs the teacher path (ref
+    label_proposals + forward_teacher at test time)."""
+    model = GeneralizedRCNN(
+        roi_heads_name="TextRes5ROIHeads", class_embed=bank(), bg_embed=bg(),
+        **TINY,
+    )
+    images, gt = tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(model.init, train=True))(
+        rngs, images, gt
+    )
+    det_teacher = jax.jit(functools.partial(model.apply, train=False))(
+        params, images, gt
+    )
+    det_student = jax.jit(functools.partial(model.apply, train=False))(
+        params, images
+    )
+    assert det_teacher.boxes.shape == det_student.boxes.shape
+    # different heads -> different score patterns
+    assert not np.allclose(
+        np.asarray(det_teacher.scores), np.asarray(det_student.scores)
+    )
