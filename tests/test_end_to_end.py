@@ -21,8 +21,25 @@ _REGISTERED = {}
 
 
 def setup_dataset(tmp_root):
-    """Register train/test synthetic VOC splits once per session."""
-    if "done" in _REGISTERED:
+    """Register train/test synthetic VOC splits once per session.
+
+    Guard via the DatasetCatalog itself — pytest can import this module
+    twice under different names, so a module global is not enough.
+    """
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        DatasetCatalog,
+    )
+
+    if "e2e_voc_2007_trainval_all1" in DatasetCatalog:
+        if "root" not in _REGISTERED:
+            # registered by the other module instance; reuse its files by
+            # probing the registered loader's first record
+            rec = DatasetCatalog.get("e2e_voc_2007_trainval_all1")[0]
+            import os
+
+            _REGISTERED["root"] = os.path.dirname(
+                os.path.dirname(os.path.dirname(rec["file_name"]))
+            )
         return _REGISTERED["root"]
     d, ids = make_voc(tmp_root, n=6)
     meta = _get_builtin_metadata("voc_fewshot")
