@@ -59,6 +59,7 @@ class DatasetMapper:
         filter_difficult: bool = True,
         device_preprocess: bool = False,
         raw_buckets: Sequence[Tuple[int, int]] = (),
+        native_io: bool = True,
     ):
         self.is_train = is_train
         self.min_sizes = (
@@ -72,6 +73,7 @@ class DatasetMapper:
         self.filter_difficult = filter_difficult
         self.device_preprocess = device_preprocess
         self.raw_buckets = list(raw_buckets)
+        self.native_io = native_io
 
     def __call__(self, record: Dict, rng: np.random.RandomState):
         if self.device_preprocess:
@@ -138,17 +140,37 @@ class DatasetMapper:
         }
 
     def _call_host(self, record: Dict, rng: np.random.RandomState):
-        img = Image.open(record["file_name"]).convert("RGB")
+        img = Image.open(record["file_name"])  # header only (lazy decode)
         w0, h0 = img.size
 
         short = self.min_sizes[rng.randint(len(self.min_sizes))] if self.is_train else self.min_sizes[0]
         h, w = resize_shortest_edge_size(h0, w0, short, self.max_size)
-        if (h, w) != (h0, w0):
-            img = img.resize((w, h), Image.BILINEAR)
+        flipped = bool(self.random_flip and rng.rand() < 0.5)
+        bh, bw = pick_bucket(h, w, self.buckets)
 
-        arr = np.asarray(img, np.float32)
-        if self.image_format == "BGR":
-            arr = arr[:, :, ::-1]
+        padded = None
+        if self.native_io:
+            from . import native_io
+
+            res = native_io.load_image(
+                record["file_name"], short, self.max_size, (bh, bw),
+                flip=flipped, bgr=self.image_format == "BGR",
+            )
+            if res is not None:
+                padded, new_hw, _ = res
+                h, w = int(new_hw[0]), int(new_hw[1])
+
+        if padded is None:  # PIL fallback (non-JPEG, native unavailable)
+            img = img.convert("RGB")
+            if (h, w) != (h0, w0):
+                img = img.resize((w, h), Image.BILINEAR)
+            arr = np.asarray(img, np.float32)
+            if self.image_format == "BGR":
+                arr = arr[:, :, ::-1]
+            if flipped:
+                arr = arr[:, ::-1, :]
+            padded = np.zeros((bh, bw, 3), np.float32)
+            padded[:h, :w] = arr
 
         sx, sy = w / w0, h / h0
         annos = record.get("annotations", [])
@@ -160,10 +182,7 @@ class DatasetMapper:
         ).reshape(-1)
         boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
 
-        flipped = False
-        if self.random_flip and rng.rand() < 0.5:
-            flipped = True
-            arr = arr[:, ::-1, :]
+        if flipped and len(boxes):
             x1 = w - boxes[:, 2]
             x2 = w - boxes[:, 0]
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], axis=1)
@@ -173,10 +192,6 @@ class DatasetMapper:
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
         keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, classes = boxes[keep], classes[keep]
-
-        bh, bw = pick_bucket(h, w, self.buckets)
-        padded = np.zeros((bh, bw, 3), np.float32)
-        padded[:h, :w] = arr
 
         g = self.max_gt
         gt_boxes = np.zeros((g, 4), np.float32)
