@@ -150,6 +150,7 @@ _C.DATALOADER.NUM_WORKERS = 4
 _C.DATALOADER.ASPECT_RATIO_GROUPING = True
 _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
 _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+_C.DATALOADER.NATIVE_IO = True  # C++ jpeg decode/resize core (csrc/)
 
 # ---------------------------------------------------------------- SOLVER --
 _C.SOLVER = CfgNode()

@@ -111,6 +111,7 @@ def build_detection_train_loader(
         random_flip=cfg.INPUT.RANDOM_FLIP == "horizontal",
         device_preprocess=cfg.TPU.DEVICE_PREPROCESS,
         raw_buckets=cfg.TPU.RAW_BUCKETS,
+        native_io=cfg.DATALOADER.NATIVE_IO,
     )
     batch_size = cfg.SOLVER.IMS_PER_BATCH
 
@@ -159,6 +160,7 @@ def build_detection_test_loader(
         max_gt=cfg.TPU.MAX_GT,
         image_format=cfg.INPUT.FORMAT,
         random_flip=False,
+        native_io=cfg.DATALOADER.NATIVE_IO,
     )
 
     num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
