@@ -94,7 +94,7 @@ def _text_head_kwargs(cfg):
         model = "glove"
     try:
         names = get_class_name(cfg)
-    except (ValueError, IndexError):
+    except (ValueError, IndexError, KeyError):
         return {}
     bank = get_class_embed(
         names, model, root=cfg.MODEL.ADDITION.EMBEDDING_PATH
