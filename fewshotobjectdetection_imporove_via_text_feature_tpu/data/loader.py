@@ -58,6 +58,7 @@ def _stack_batch(items: List[Dict]):
         meta["short"] = np.asarray([it["short"] for it in items], np.float32)
         meta["flip"] = np.asarray([it["flip"] for it in items], bool)
         meta["target_hw"] = items[0]["target_hw"]
+        meta["max_size"] = items[0]["max_size"]
     return images, gt, meta
 
 
@@ -160,6 +161,8 @@ def build_detection_test_loader(
         max_gt=cfg.TPU.MAX_GT,
         image_format=cfg.INPUT.FORMAT,
         random_flip=False,
+        device_preprocess=cfg.TPU.DEVICE_PREPROCESS,
+        raw_buckets=cfg.TPU.RAW_BUCKETS,
         native_io=cfg.DATALOADER.NATIVE_IO,
     )
 

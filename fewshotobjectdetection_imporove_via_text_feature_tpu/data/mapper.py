@@ -131,6 +131,7 @@ class DatasetMapper:
             "bucket": (rbh, rbw, tbh, tbw),
             "target_hw": (tbh, tbw),
             "short": np.float32(short),
+            "max_size": self.max_size,
             "flip": flip,
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,

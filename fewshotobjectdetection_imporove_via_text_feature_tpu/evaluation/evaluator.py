@@ -44,6 +44,26 @@ def inference_on_dataset(
 
     apply_fn = jax.jit(partial(model.apply, train=False))
 
+    # device-preprocess mode: fuse raw->resize into the inference program,
+    # one compiled variant per target bucket
+    raw_fns = {}
+
+    def apply_raw(variables, images, short, flip, target_hw, max_size):
+        fn = raw_fns.get(target_hw)
+        if fn is None:
+
+            def run(v, im, sh, fl):
+                from ..data.xla_preprocess import device_resize_batch
+
+                resized, _ = device_resize_batch(
+                    im.image, im.orig_hw, fl, sh, max_size, target_hw
+                )
+                return model.apply(v, im.replace(image=resized), train=False)
+
+            fn = jax.jit(run)
+            raw_fns[target_hw] = fn
+        return fn(variables, images, short, flip)
+
     num_warmup = 5
     total_compute = 0.0
     start_time = time.perf_counter()
@@ -51,7 +71,15 @@ def inference_on_dataset(
     idx = 0
     for images, gt, meta in data_loader:
         t0 = time.perf_counter()
-        det = apply_fn({"params": params}, images)
+        if "short" in meta:
+            det = apply_raw(
+                {"params": params}, images,
+                np.asarray(meta["short"]), np.asarray(meta["flip"]),
+                tuple(meta["target_hw"]),
+                int(meta["max_size"]),
+            )
+        else:
+            det = apply_fn({"params": params}, images)
         det = jax.block_until_ready(det)
         t1 = time.perf_counter()
         if idx >= num_warmup:

@@ -30,3 +30,38 @@ def test_trainer_device_preprocess(tmp_path_factory):
     with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
         rec = json.loads(f.readline())
     assert np.isfinite(rec["total_loss"])
+
+
+def test_eval_device_preprocess(tmp_path_factory):
+    """Inference path with fused device preprocessing produces the same
+    metrics structure as the host path."""
+    shared = tmp_path_factory.mktemp("dpe")
+    root = setup_dataset(str(shared))
+    import pathlib
+
+    cfg = tiny_cfg(pathlib.Path(root))
+    cfg.TPU.DEVICE_PREPROCESS = True
+    cfg.TPU.RAW_BUCKETS = ((256, 384),)
+    cfg.OUTPUT_DIR = str(shared / "out_eval")
+    cfg.SOLVER.MAX_ITER = 1
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        build_detection_test_loader,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation import (
+        PascalVOCDetectionEvaluator,
+        inference_on_dataset,
+    )
+
+    trainer = Trainer(cfg)
+    params = trainer.train()
+    loader = build_detection_test_loader(
+        cfg, cfg.DATASETS.TEST[0], batch_size=2
+    )
+    evaluator = PascalVOCDetectionEvaluator(cfg.DATASETS.TEST[0])
+    results = inference_on_dataset(trainer.model, params, loader, evaluator)
+    assert "bbox" in results
+    assert np.isfinite(results["bbox"]["AP50"])
