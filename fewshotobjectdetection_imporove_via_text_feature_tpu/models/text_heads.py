@@ -59,10 +59,15 @@ def paint_semantic_map(
     bg_vector: jnp.ndarray,   # (sem,) or (1, sem)
     feat_hw: Tuple[int, int],
     stride: int = 16,
+    adding: bool = False,
 ):
     """(B, H, W, sem) map: pixels inside a GT box get that class's
-    embedding (later GT index wins ties, matching the reference's
-    sequential overwrite, rcnn.py:198-201); everything else bg."""
+    embedding; everything else bg.
+
+    adding=False: later GT index wins ties (the reference's sequential
+    overwrite, rcnn.py:198-201). adding=True: overlapping boxes SUM their
+    embeddings (GeneralizedDistillatedAddingRCNN, rcnn.py:328-357).
+    """
     h, w = feat_hw
     bg = jnp.reshape(bg_vector, (-1,))
 
@@ -79,14 +84,21 @@ def paint_semantic_map(
             in_y[:, :, None] & in_x[:, None, :] & valid[:, None, None]
         )  # (G, H, W)
         g = boxes.shape[0]
-        gt_rank = jnp.arange(1, g + 1)[:, None, None]
-        winner = jnp.max(jnp.where(inside, gt_rank, 0), axis=0)  # (H, W)
         cls = jnp.clip(classes, 0, embeddings.shape[0] - 1)
-        cls_map = jnp.where(
-            winner > 0, cls[jnp.clip(winner - 1, 0, g - 1)], 0
-        )
-        fg = embeddings[cls_map]  # (H, W, sem)
-        return jnp.where((winner > 0)[..., None], fg, bg[None, None, :])
+        covered = jnp.any(inside, axis=0)  # (H, W)
+        if adding:
+            fg = jnp.einsum(
+                "ghw,gs->hws", inside.astype(embeddings.dtype),
+                embeddings[cls],
+            )
+        else:
+            gt_rank = jnp.arange(1, g + 1)[:, None, None]
+            winner = jnp.max(jnp.where(inside, gt_rank, 0), axis=0)
+            cls_map = jnp.where(
+                winner > 0, cls[jnp.clip(winner - 1, 0, g - 1)], 0
+            )
+            fg = embeddings[cls_map]  # (H, W, sem)
+        return jnp.where(covered[..., None], fg, bg[None, None, :])
 
     return jax.vmap(per_image)(gt.boxes, gt.classes, gt.valid)
 
@@ -366,6 +378,7 @@ class GeneralizedDistillatedRCNN(GeneralizedSemanticRCNN):
                 self.bg_feature,
                 (f.shape[1], f.shape[2]),
                 stride=strides[scale],
+                adding=self.adding_variant,
             )
             proj = self.vis2sem_proj[scale](f.astype(jnp.float32))
             kd[f"loss_rpn_{scale}"] = jnp.mean((proj - sem) ** 2)

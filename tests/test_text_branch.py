@@ -187,3 +187,24 @@ def test_teacher_evaluation_with_gt():
     assert not np.allclose(
         np.asarray(det_teacher.scores), np.asarray(det_student.scores)
     )
+
+
+def test_paint_semantic_map_adding():
+    emb = np.eye(3, dtype=np.float32)
+    gt = GTInstances(
+        boxes=jnp.asarray(
+            [[[0.0, 0.0, 64.0, 64.0], [32.0, 32.0, 96.0, 96.0]]]
+        ),
+        classes=jnp.asarray([[0, 2]], jnp.int32),
+        valid=jnp.asarray([[True, True]]),
+    )
+    bg_vec = jnp.full((3,), 0.5)
+    out = np.asarray(
+        paint_semantic_map(
+            gt, jnp.asarray(emb), bg_vec, (8, 8), stride=16, adding=True
+        )
+    )[0]
+    # overlap region sums both class embeddings
+    np.testing.assert_allclose(out[3, 3], [1, 0, 1])
+    np.testing.assert_allclose(out[1, 1], [1, 0, 0])
+    np.testing.assert_allclose(out[7, 7], [0.5, 0.5, 0.5])
