@@ -82,6 +82,7 @@ class GeneralizedRCNN(nn.Module):
     roi_batch_per_image: int = 512
     roi_positive_fraction: float = 0.25
     roi_iou_threshold: float = 0.5
+    roi_chunk: int = 256
     box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     smooth_l1_beta: float = 0.0
     cls_agnostic_bbox_reg: bool = False
@@ -136,6 +137,7 @@ class GeneralizedRCNN(nn.Module):
             attention_output_layer=(
                 self.output_layer == "FastRCNNAttentionOutputLayers"
             ),
+            roi_chunk=self.roi_chunk,
             dtype=self.dtype,
         )
         name = self.roi_heads_name
