@@ -210,7 +210,8 @@ _C.TPU.IMAGE_BUCKETS = ((512, 864), (672, 1120), (800, 1344))  # (h, w) pads
 _C.TPU.MAX_DETECTIONS_PRE_NMS = 1024  # candidate cap for final class NMS
 _C.TPU.COMPUTE_DTYPE = "bfloat16"   # backbone/head matmul dtype
 _C.TPU.MESH_DATA_AXIS = "data"
-_C.TPU.REMAT_BACKBONE = True
+# off by default: batch-16 bf16 training fits HBM without remat
+_C.TPU.REMAT_BACKBONE = False
 # observability (SURVEY.md §5.1/§5.2): profiler trace capture + NaN guard
 _C.TPU.PROFILE_START_STEP = -1   # step to start a jax.profiler trace (-1 off)
 _C.TPU.PROFILE_NUM_STEPS = 5
