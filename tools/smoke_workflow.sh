@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# End-to-end few-shot workflow smoke: base train -> surgery -> create_config
+# -> gfsod 1-shot fine-tune (with PCB) -> extract_results, on a synthetic
+# dataset with a tiny model. Mirrors run_voc.sh's skeleton exactly.
+set -e
+cd "$(dirname "$0")/.."
+
+SAVE_DIR=${1:-/tmp/smoke_workflow}
+rm -rf ${SAVE_DIR}
+mkdir -p ${SAVE_DIR}
+
+python tools/_make_synthetic_voc.py --root datasets --shots 1 --seed 0
+
+TINY_OPTS="MODEL.RESNETS.DEPTH 14 MODEL.RESNETS.STEM_OUT_CHANNELS 8
+MODEL.RESNETS.RES2_OUT_CHANNELS 16 MODEL.RESNETS.WIDTH_PER_GROUP 4
+MODEL.BACKBONE.FREEZE_AT 0
+MODEL.RPN.PRE_NMS_TOPK_TRAIN 256 MODEL.RPN.POST_NMS_TOPK_TRAIN 64
+MODEL.RPN.PRE_NMS_TOPK_TEST 256 MODEL.RPN.POST_NMS_TOPK_TEST 64
+MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE 16
+TPU.IMAGE_BUCKETS ((256,384),) TPU.MAX_GT 10 TPU.MAX_DETECTIONS_PRE_NMS 128
+TPU.COMPUTE_DTYPE float32
+INPUT.MIN_SIZE_TRAIN (256,) INPUT.MAX_SIZE_TRAIN 384
+INPUT.MIN_SIZE_TEST 256 INPUT.MAX_SIZE_TEST 384
+SOLVER.IMS_PER_BATCH 4 SOLVER.BASE_LR 0.001 SOLVER.WARMUP_ITERS 0
+SOLVER.CHECKPOINT_PERIOD 0 SEED 5"
+
+echo "=== 1. base training (15 classes) ==="
+python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
+    --opts MODEL.WEIGHTS "" SOLVER.MAX_ITER 5 SOLVER.STEPS "(4,)" \
+    OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
+
+echo "=== 2. checkpoint surgery (15 -> 20 classes) ==="
+python tools/model_surgery.py --dataset voc --method randinit \
+    --src-path ${SAVE_DIR}/base1/model_final.ckpt --save-dir ${SAVE_DIR}/base1
+
+echo "=== 3. create per-seed config ==="
+python tools/create_config.py --dataset voc --config_root configs/voc \
+    --shot 1 --seed 0 --setting gfsod --split 1
+CONFIG=configs/voc/defrcn_gfsod_r101_novel1_1shot_seed0.yaml
+
+echo "=== 4. gfsod fine-tune + PCB eval ==="
+OUT=${SAVE_DIR}/1shot_seed0
+python main.py --config-file ${CONFIG} \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
+    SOLVER.MAX_ITER 5 SOLVER.STEPS "(4,)" OUTPUT_DIR ${OUT} \
+    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" ${TINY_OPTS} \
+    2>&1 | tee ${OUT}.log
+rm ${CONFIG}
+mkdir -p ${OUT}
+grep copypaste ${OUT}.log | sed 's/^.*copypaste/copypaste/' | tail -2 > ${OUT}/log.txt
+
+echo "=== 5. aggregate ==="
+python tools/extract_results.py --res-dir ${SAVE_DIR} --shot-list 1
+cat ${SAVE_DIR}/results.txt
+echo "WORKFLOW SMOKE PASSED"
