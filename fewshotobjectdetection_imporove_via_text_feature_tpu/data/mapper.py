@@ -88,7 +88,7 @@ class DatasetMapper:
 
         img = Image.open(record["file_name"]).convert("RGB")
         w0, h0 = img.size
-        arr = np.asarray(img, np.float32)
+        arr = np.asarray(img, np.uint8)
         if self.image_format == "BGR":
             arr = arr[:, :, ::-1]
 
@@ -111,7 +111,7 @@ class DatasetMapper:
             boxes, classes = boxes[keep], classes[keep]
 
         rbh, rbw = pick_bucket(h0, w0, self.raw_buckets or self.buckets)
-        raw = np.zeros((rbh, rbw, 3), np.float32)
+        raw = np.zeros((rbh, rbw, 3), np.uint8)
         raw[:h0, :w0] = arr
         tbh, tbw = pick_bucket(nh, nw, self.buckets)
 
@@ -158,19 +158,20 @@ class DatasetMapper:
                 flip=flipped, bgr=self.image_format == "BGR",
             )
             if res is not None:
-                padded, new_hw, _ = res
+                canvas, new_hw, _ = res
+                padded = np.clip(canvas + 0.5, 0, 255).astype(np.uint8)
                 h, w = int(new_hw[0]), int(new_hw[1])
 
         if padded is None:  # PIL fallback (non-JPEG, native unavailable)
             img = img.convert("RGB")
             if (h, w) != (h0, w0):
                 img = img.resize((w, h), Image.BILINEAR)
-            arr = np.asarray(img, np.float32)
+            arr = np.asarray(img, np.uint8)
             if self.image_format == "BGR":
                 arr = arr[:, :, ::-1]
             if flipped:
                 arr = arr[:, ::-1, :]
-            padded = np.zeros((bh, bw, 3), np.float32)
+            padded = np.zeros((bh, bw, 3), np.uint8)
             padded[:h, :w] = arr
 
         sx, sy = w / w0, h / h0

@@ -182,8 +182,11 @@ class GeneralizedRCNN(nn.Module):
 
     # ------------------------------------------------------------------
     def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.asarray(self.pixel_mean, image.dtype)
-        std = jnp.asarray(self.pixel_std, image.dtype)
+        # images may arrive uint8 (4x cheaper host->device transfer; the
+        # reference's PIL-resized pixels are uint8 too)
+        image = image.astype(jnp.float32)
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
         return (image - mean) / std
 
     def compute_features(self, images: ImageBatch):

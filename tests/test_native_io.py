@@ -74,4 +74,5 @@ def test_mapper_uses_native(jpeg_path):
     item2 = mapper(record2, np.random.RandomState(0))
     assert tuple(item2["hw"]) == (256, 349)
     # native vs PIL pixel agreement (loose: jpeg decoder + filter diffs)
-    assert np.abs(item["image"] - item2["image"]).mean() < 4.0
+    diff = item["image"].astype(np.float32) - item2["image"].astype(np.float32)
+    assert np.abs(diff).mean() < 4.0
