@@ -207,7 +207,10 @@ _C.TEST.PCB_LOWER = 0.05
 _C.TPU = CfgNode()
 _C.TPU.MAX_GT = 100                 # padded GT instances per image
 _C.TPU.IMAGE_BUCKETS = ((512, 864), (672, 1120), (800, 1344))  # (h, w) pads
-_C.TPU.MAX_DETECTIONS_PRE_NMS = 1024  # candidate cap for final class NMS
+# candidate cap for the final class-aware NMS; the reference has no cap
+# (it NMSes every (proposal, class) pair above 0.05) — 2048 keeps COCO-80
+# clipping negligible at ~1.5 ms extra
+_C.TPU.MAX_DETECTIONS_PRE_NMS = 2048
 _C.TPU.COMPUTE_DTYPE = "bfloat16"   # backbone/head matmul dtype
 _C.TPU.MESH_DATA_AXIS = "data"
 # off by default: batch-16 bf16 training fits HBM without remat
