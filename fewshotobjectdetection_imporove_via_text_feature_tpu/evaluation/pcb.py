@@ -28,7 +28,7 @@ import numpy as np
 from PIL import Image
 
 from ..data import get_detection_dataset_dicts
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import roi_align_auto
 from .archs import TorchvisionResNet, tv_translate
 
 logger = logging.getLogger(__name__)
@@ -98,7 +98,7 @@ class PrototypicalCalibrationBlock:
 
             def fn(params, image, boxes):
                 _, feat = self.model.apply({"params": params}, image[None])
-                pooled = roi_align(
+                pooled = roi_align_auto(
                     feat[0].astype(jnp.float32), boxes, 1, 1.0 / 32.0, 2
                 )[:, 0, 0, :]
                 # fc applied to the ROI-pooled res5 features

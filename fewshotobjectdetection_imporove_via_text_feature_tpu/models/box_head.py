@@ -81,11 +81,11 @@ class StandardROIHeads(nn.Module):
                  gt_classes=None, valid=None):
         import jax
 
-        from ..ops.roi_align import roi_align
+        from ..ops.roi_align import roi_align_auto
 
         b, s = boxes.shape[:2]
         pooled = jax.vmap(
-            lambda f, bb: roi_align(
+            lambda f, bb: roi_align_auto(
                 f, bb, self.pooler_resolution, self.pooler_scale,
                 self.sampling_ratio,
             )

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import pairwise_iou, match_proposals, sample_proposals_fixed
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import roi_align_auto
 from ..structures import GTInstances, Proposals
 from .backbone import Res5Stage
 from .fast_rcnn import FastRCNNOutputLayers, fast_rcnn_losses, fast_rcnn_inference
@@ -128,7 +128,7 @@ class Res5ROIHeads(nn.Module):
         for start in range(0, s, chunk):
             bx = boxes[:, start : start + chunk]
             pooled = jax.vmap(
-                lambda f, bb: roi_align(
+                lambda f, bb: roi_align_auto(
                     f, bb, self.pooler_resolution, self.pooler_scale,
                     self.sampling_ratio,
                 )

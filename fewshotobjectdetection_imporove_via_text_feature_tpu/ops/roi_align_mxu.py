@@ -1,0 +1,102 @@
+"""ROIAlign as MXU matmuls — the TPU-native formulation.
+
+Bilinear sampling is separable: every pooled output is
+``out[r] = Wy[r] @ F @ Wx[r]^T`` with per-ROI interpolation matrices
+Wy (P, H), Wx (P, W) whose rows are averaged bilinear tents over the
+sub-sample positions (the S×S in-bin average folds into the weights).
+
+Profiling the gather-based ROIAlign on v5e showed the gathers + relayouts
+dominating the whole detector (~170 ms device time per batch-8 step vs
+~23 ms for ALL backbone convs at 93% MXU). This version turns that HBM
+gather storm into two dense matmuls (~1 TFLOP total at batch 8 — a few ms
+on the MXU) with zero gathers.
+
+Numerics are identical to ops/roi_align.py (same sample positions, same
+aligned=True boundary rule) up to matmul accumulation order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_matrix(start, bin_size, size: int, p: int, s: int, dtype):
+    """Pooled bilinear interpolation matrix along one axis.
+
+    start: (R,) continuous ROI start (feature coords, aligned=True);
+    bin_size: (R,). Returns (R, P, size): row (r, i) holds the averaged
+    bilinear weights of output bin i against the `size` feature positions.
+    """
+    # sample offsets within the ROI: (P*S,)
+    grid = (
+        jnp.arange(p, dtype=dtype)[:, None]
+        + (jnp.arange(s, dtype=dtype)[None, :] + 0.5) / s
+    ).reshape(-1)
+    t = start[:, None] + grid[None, :] * bin_size[:, None]  # (R, P*S)
+
+    # boundary rule: out of [-1, size] contributes nothing; in-range
+    # samples clamp to [0, size-1]
+    oob = (t < -1.0) | (t > size)
+    tc = jnp.clip(t, 0.0, size - 1.0)
+
+    pos = jnp.arange(size, dtype=dtype)  # (size,)
+    # bilinear tent around the clamped coordinate
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(tc[:, :, None] - pos[None, None, :]))
+    # clamped-at-edge coordinates put full weight on the edge cell already
+    w = jnp.where(oob[:, :, None], 0.0, w)
+    r = start.shape[0]
+    w = w.reshape(r, p, s, size).sum(axis=2) / s  # average the S sub-samples
+    return w
+
+
+@partial(
+    jax.jit,
+    static_argnames=("output_size", "spatial_scale", "sampling_ratio", "roi_chunk"),
+)
+def roi_align_mxu(
+    feat: jnp.ndarray,       # (H, W, C)
+    boxes: jnp.ndarray,      # (R, 4) XYXY image coords
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    roi_chunk: int = 128,
+) -> jnp.ndarray:
+    """(R, P, P, C) pooled features via two matmuls per ROI chunk."""
+    p = output_size
+    s = sampling_ratio
+    h, w, c = feat.shape
+    rtot = boxes.shape[0]
+    dt = feat.dtype
+    wt = jnp.float32  # build weights in f32, cast for the MXU
+
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    x2 = boxes[:, 2] * spatial_scale - 0.5
+    y2 = boxes[:, 3] * spatial_scale - 0.5
+    bin_w = jnp.maximum(x2 - x1, 1e-6) / p
+    bin_h = jnp.maximum(y2 - y1, 1e-6) / p
+
+    wy = _interp_matrix(y1.astype(wt), bin_h.astype(wt), h, p, s, wt)  # (R,P,H)
+    wx = _interp_matrix(x1.astype(wt), bin_w.astype(wt), w, p, s, wt)  # (R,P,W)
+    wy = wy.astype(dt)
+    wx = wx.astype(dt)
+
+    chunk = min(roi_chunk if roi_chunk > 0 else rtot, rtot)
+    outs = []
+    for start in range(0, rtot, chunk):
+        wy_c = wy[start : start + chunk]  # (r, P, H)
+        wx_c = wx[start : start + chunk]  # (r, P, W)
+        # (r*P, H) @ (H, W*C): one large MXU matmul
+        g = jnp.einsum(
+            "rph,hwc->rpwc", wy_c, feat, preferred_element_type=jnp.float32
+        )
+        # batched per-ROI: (P, W) @ (W, P*C)
+        o = jnp.einsum(
+            "rqw,rpwc->rpqc", wx_c, g.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(dt))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
