@@ -108,3 +108,29 @@ def test_coco_register_eval_pipeline(tmp_path):
     # base/novel splits present and perfect (person=novel, truck=base)
     assert np.isclose(res["nAP"], 100.0)
     assert np.isclose(res["bAP"], 100.0)
+
+
+def test_coco_eval_crowd_ignored():
+    """Crowd GT: detections matching a crowd region are ignored (neither
+    TP nor FP), and crowd GT never counts toward npos."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.coco_eval import (
+        evaluate_coco_detections,
+    )
+
+    gt = {
+        "a": [
+            {"bbox": [0, 0, 100, 100], "category_id": 0, "iscrowd": 0},
+            {"bbox": [200, 200, 400, 400], "category_id": 0, "iscrowd": 1},
+        ]
+    }
+    dets = {
+        "a": (
+            np.array([[0.0, 0, 100, 100], [250, 250, 350, 350]]),
+            np.array([0.9, 0.8]),
+            np.array([0, 0]),
+        )
+    }
+    res = evaluate_coco_detections(gt, dets, [0])
+    # the crowd-matched det is ignored; the real det is a perfect TP
+    assert np.isclose(res["AP50"], 100.0)
+    assert np.isclose(res["AP"], 100.0)
