@@ -89,14 +89,28 @@ def roi_align_mxu(
     for start in range(0, rtot, chunk):
         wy_c = wy[start : start + chunk]  # (r, P, H)
         wx_c = wx[start : start + chunk]  # (r, P, W)
-        # (r*P, H) @ (H, W*C): one large MXU matmul
-        g = jnp.einsum(
-            "rph,hwc->rpwc", wy_c, feat, preferred_element_type=jnp.float32
-        )
-        # batched per-ROI: (P, W) @ (W, P*C)
-        o = jnp.einsum(
-            "rqw,rpwc->rpqc", wx_c, g.astype(dt),
-            preferred_element_type=jnp.float32,
-        )
+        # Contract the LONGER spatial axis first: the intermediate then
+        # carries the shorter axis ((r,P,short,C) instead of (r,P,long,C)),
+        # which cuts both its HBM footprint and the FLOPs of the second,
+        # sublane-starved batched matmul. For 800x1344 inputs W>H, so the
+        # W-first order shrinks the intermediate by ~40%.
+        if w >= h:
+            # (r*P, W) @ (W, H*C) then per-ROI (P, H) @ (H, P*C)
+            g = jnp.einsum(
+                "rqw,hwc->rqhc", wx_c, feat, preferred_element_type=jnp.float32
+            )
+            o = jnp.einsum(
+                "rph,rqhc->rpqc", wy_c, g.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # (r*P, H) @ (H, W*C) then per-ROI (P, W) @ (W, P*C)
+            g = jnp.einsum(
+                "rph,hwc->rpwc", wy_c, feat, preferred_element_type=jnp.float32
+            )
+            o = jnp.einsum(
+                "rqw,rpwc->rpqc", wx_c, g.astype(dt),
+                preferred_element_type=jnp.float32,
+            )
         outs.append(o.astype(dt))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
