@@ -29,6 +29,48 @@ RESNET_STAGES = {
 }
 
 
+class _SpaceToDepthStem(nn.Module):
+    """The ResNet stem's 7x7 stride-2 conv as a 4x4 stride-1 conv over a
+    2x2 space-to-depth input — arithmetically identical, MXU-friendly.
+
+    With X2[i,j,(p,q,c)] = x[2i+p, 2j+q, c] and the 7x7 kernel zero-padded
+    to 8x8 at the top-left (k_hat[u,v] = k[u-1,v-1]), the original output
+    o[i,j] = sum_{u,v,c} k[u,v,c] x[2i+u-3, 2j+v-3, c] becomes a 4x4 conv
+    over X2 with padding (2,1): o[i,j] = sum_{s,t,p,q,c} k_hat[2s+p, 2t+q, c]
+    X2[i+s-2, j+t-2, (p,q,c)]. Parameter stays (7,7,3,C) = the reference
+    layout (detectron2 stem, vendored resnet.py:560-590), so weight import
+    is untouched.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        k = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(
+                2.0, "fan_out", "truncated_normal"
+            ),
+            (7, 7, c, self.features),
+        )
+        # (7,7,c,o) -> zero-pad top-left -> (8,8,c,o) -> (4,2,4,2,c,o)
+        # -> (s,t,p,q,c,o) -> (4,4,4c,o)
+        k2 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = k2.reshape(4, 2, 4, 2, c, self.features)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            k2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class FrozenBN(nn.Module):
     """BatchNorm with fixed statistics and affine params (never updated).
 
@@ -166,8 +208,22 @@ class ResNetC4(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        # Stem: 7x7/2 + FrozenBN + relu + maxpool 3x3/2.
-        x = _conv(self.stem_out_channels, 7, 2, name="stem_conv1", dtype=self.dtype)(x)
+        # Stem: 7x7/2 + FrozenBN + relu + maxpool 3x3/2. The 7x7/2 conv over
+        # 3 input channels runs the MXU at <10% (contraction depth 3); the
+        # standard TPU space-to-depth transform (MLPerf ResNet) rewrites it
+        # as an arithmetically identical 4x4/1 conv over a 2x2-depth-stacked
+        # input (12 channels, contraction depth 192). The parameter keeps
+        # the reference (7,7,3,C) layout so Caffe2/torch weight import is
+        # unchanged; the kernel is rearranged at trace time.
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _SpaceToDepthStem(
+                self.stem_out_channels, name="stem_conv1", dtype=self.dtype
+            )(x)
+        else:
+            x = _conv(
+                self.stem_out_channels, 7, 2, name="stem_conv1",
+                dtype=self.dtype,
+            )(x)
         x = FrozenBN(self.stem_out_channels, dtype=self.dtype, name="stem_bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(

@@ -202,34 +202,37 @@ def select_top_proposals(
     k = min(pre_nms_topk, n)
     fh, fw = feat_hw
     num_a = cell.shape[0]
-    cw = cell[:, 2] - cell[:, 0]  # (A,)
-    ch = cell[:, 3] - cell[:, 1]
+    dt = pred_logits.dtype
+    # Anchor geometry over the dense (fh, fw, A) grid, arithmetically (no
+    # anchor-table gather): broadcast the (A,) cell sizes over grid centers.
+    cw = (cell[:, 2] - cell[:, 0]).astype(dt)  # (A,)
+    ch = (cell[:, 3] - cell[:, 1]).astype(dt)
+    acx = (jnp.arange(fw, dtype=dt) * stride)[None, :, None]   # (1, fw, 1)
+    acy = (jnp.arange(fh, dtype=dt) * stride)[:, None, None]   # (fh, 1, 1)
     from ..ops.box_ops import SCALE_CLAMP
 
-    def per_image(logits, dx, dy, dw, dh, hw):
-        scores, idx = jax.lax.top_k(logits, k)
-        a = idx % num_a
-        cell_idx = idx // num_a
-        gx = (cell_idx % fw).astype(scores.dtype)
-        gy = (cell_idx // fw).astype(scores.dtype)
-        # one-hot matmul beats a gather for the tiny (A,) tables
-        onehot = jax.nn.one_hot(a, num_a, dtype=scores.dtype)
-        w = onehot @ cw
-        h = onehot @ ch
-        acx = gx * stride
-        acy = gy * stride
-        pcx = dx[idx] * w + acx
-        pcy = dy[idx] * h + acy
-        pw = jnp.exp(jnp.minimum(dw[idx], SCALE_CLAMP)) * w
-        ph = jnp.exp(jnp.minimum(dh[idx], SCALE_CLAMP)) * h
-        img_h = hw[0].astype(pcx.dtype)
-        img_w = hw[1].astype(pcx.dtype)
+    def per_image(logits, deltas, hw):
+        # Decode ALL anchors first (pure fused elementwise over the dense
+        # grid), then a single row-gather at the top-k indices. The previous
+        # formulation gathered the four delta components separately after
+        # top_k; four scalar gathers cost more than decoding everything.
+        d = deltas.reshape(fh, fw, num_a, 4)
+        pcx = d[..., 0] * cw + acx
+        pcy = d[..., 1] * ch + acy
+        pw = jnp.exp(jnp.minimum(d[..., 2], SCALE_CLAMP)) * cw
+        ph = jnp.exp(jnp.minimum(d[..., 3], SCALE_CLAMP)) * ch
+        img_h = hw[0].astype(dt)
+        img_w = hw[1].astype(dt)
         x1 = jnp.clip(pcx - 0.5 * pw, 0.0, img_w)
         y1 = jnp.clip(pcy - 0.5 * ph, 0.0, img_h)
         x2 = jnp.clip(pcx + 0.5 * pw, 0.0, img_w)
         y2 = jnp.clip(pcy + 0.5 * ph, 0.0, img_h)
-        valid = (x2 - x1 > min_size) & (y2 - y1 > min_size)
-        boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+        boxes_all = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(n, 4)
+        scores, idx = jax.lax.top_k(logits, k)
+        boxes = boxes_all[idx]  # one batched-source row gather
+        valid = (boxes[:, 2] - boxes[:, 0] > min_size) & (
+            boxes[:, 3] - boxes[:, 1] > min_size
+        )
         from ..ops.nms import nms_auto
 
         keep, order = nms_auto(boxes, scores, valid, nms_thresh)
@@ -250,11 +253,6 @@ def select_top_proposals(
         return out_boxes[:post_nms_topk], out_scores[:post_nms_topk], out_valid[:post_nms_topk]
 
     boxes, scores, valid = jax.vmap(per_image)(
-        pred_logits,
-        pred_deltas[..., 0],
-        pred_deltas[..., 1],
-        pred_deltas[..., 2],
-        pred_deltas[..., 3],
-        image_hw,
+        pred_logits, pred_deltas, image_hw
     )
     return Proposals(boxes=boxes, objectness=scores, valid=valid)

@@ -163,3 +163,26 @@ def test_remat_backbone_matches():
     )
     for k in la:
         np.testing.assert_allclose(float(la[k]), float(lb[k]), rtol=1e-5)
+
+
+def test_space_to_depth_stem_equals_7x7_conv():
+    """The MXU-friendly space-to-depth stem must match the plain 7x7/2 conv
+    bit-for-bit up to f32 rounding (same param layout -> weight import
+    unaffected)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.backbone import (
+        _SpaceToDepthStem,
+        _conv,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3), jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 3, 32), jnp.float32) * 0.05
+    ref = _conv(32, 7, 2, name="stem_conv1").apply({"params": {"kernel": k}}, x)
+    new = _SpaceToDepthStem(32).apply({"params": {"kernel": k}}, x)
+    assert ref.shape == new.shape
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(new), rtol=1e-5, atol=1e-5
+    )
