@@ -127,7 +127,11 @@ def label_and_sample_anchors(
     labels = subsample_labels(
         key, labels, batch_size_per_image, positive_fraction, 0
     )
-    matched_boxes = gt.boxes[matched_idx]  # (N, 4)
+    # one-hot matmul instead of a row gather: gathering (N,) rows from the
+    # tiny (G, 4) table costs ~6 ms/step on v5e; the (N, G) @ (G, 4) matmul
+    # is ~1 ms and fuses with the iota compare.
+    onehot = jax.nn.one_hot(matched_idx, gt.boxes.shape[0], dtype=jnp.float32)
+    matched_boxes = onehot @ gt.boxes.astype(jnp.float32)  # (N, 4)
     return labels, matched_boxes
 
 
