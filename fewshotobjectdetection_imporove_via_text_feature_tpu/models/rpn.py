@@ -233,7 +233,9 @@ def select_top_proposals(
         y2 = jnp.clip(pcy + 0.5 * ph, 0.0, img_h)
         boxes_all = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(n, 4)
         scores, idx = jax.lax.top_k(logits, k)
-        boxes = boxes_all[idx]  # one batched-source row gather
+        # one batched-source row gather (4 per-plane gathers measure ~2x
+        # slower in-context on this backend)
+        boxes = boxes_all[idx]
         valid = (boxes[:, 2] - boxes[:, 0] > min_size) & (
             boxes[:, 3] - boxes[:, 1] > min_size
         )
