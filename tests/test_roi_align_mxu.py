@@ -67,3 +67,27 @@ def test_mxu_chunking_consistent():
                       roi_chunk=0)
     )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_mxu_portrait_and_landscape_orientations():
+    """The MXU ROIAlign contracts the longer spatial axis first; both
+    branches must match the gather reference on non-square feature maps."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.ops.roi_align import (
+        roi_align,
+    )
+
+    rng = np.random.RandomState(7)
+    for (h, w) in [(10, 24), (24, 10)]:
+        feat = jnp.asarray(rng.randn(h, w, 8), jnp.float32)
+        boxes = np.zeros((12, 4), np.float32)
+        boxes[:, 0] = rng.uniform(0, w * 16 - 32, 12)
+        boxes[:, 1] = rng.uniform(0, h * 16 - 32, 12)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(8, 120, 12)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(8, 120, 12)
+        boxes = jnp.asarray(boxes)
+        ref = roi_align(feat, boxes, 7, 1 / 16.0, 2)
+        out = roi_align_mxu(feat, boxes, 7, 1 / 16.0, 2)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4,
+            err_msg=f"orientation {h}x{w}",
+        )
