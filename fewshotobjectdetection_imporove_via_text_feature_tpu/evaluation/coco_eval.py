@@ -218,6 +218,38 @@ class COCOEvaluator(DatasetEvaluator):
         out = OrderedDict()
         out["bbox"] = dict(res)
 
+        if self._output_dir:
+            # COCO-format dump like the reference COCOEvaluator
+            # (coco_evaluation.py:89-117, via d2 instances_to_coco_json):
+            # XYWH boxes, category_id mapped back to DATASET ids.
+            import json
+            import os
+
+            id_map = self._meta.get("thing_dataset_id_to_contiguous_id")
+            rev = {v: k for k, v in id_map.items()} if id_map else None
+            dump = []
+            for image_id, (boxes, scores, cls) in self._dets.items():
+                for b, s, c in zip(boxes, scores, cls):
+                    x1, y1, x2, y2 = (float(v) for v in b)
+                    dump.append(
+                        {
+                            "image_id": image_id,
+                            "category_id": (
+                                rev[int(c)] if rev is not None else int(c)
+                            ),
+                            "bbox": [x1, y1, x2 - x1, y2 - y1],
+                            "score": float(s),
+                        }
+                    )
+            os.makedirs(self._output_dir, exist_ok=True)
+            with open(
+                os.path.join(
+                    self._output_dir, "coco_instances_results.json"
+                ),
+                "w",
+            ) as f:
+                json.dump(dump, f)
+
         # base/novel splits when the dataset is an "all" few-shot split
         name_to_id = {
             n: i for i, n in enumerate(self._meta.thing_classes)

@@ -140,7 +140,14 @@ class PascalVOCDetectionEvaluator(DatasetEvaluator):
                     {
                         "image_id": image_id,
                         "category_id": int(cls),
-                        "bbox": [float(v) for v in box],
+                        # COCO XYWH convention, matching the reference's
+                        # instances_to_coco_json dump (d2 coco.py)
+                        "bbox": [
+                            float(x1),
+                            float(y1),
+                            float(x2 - x1),
+                            float(y2 - y1),
+                        ],
                         "score": float(score),
                     }
                 )

@@ -138,3 +138,48 @@ def test_coco_eval_localization_threshold():
     assert np.isclose(res["AP50"], 100.0)
     assert np.isclose(res["AP75"], 0.0)
     assert 0 < res["AP"] < 100.0
+
+
+def test_coco_json_dump_is_xywh(tmp_path):
+    """coco_instances_results.json must use the COCO XYWH convention
+    (reference dumps via d2 instances_to_coco_json; our visualizer and any
+    pycocotools consumer rely on it)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.coco_eval import (
+        COCOEvaluator,
+    )
+
+    class _Meta:
+        thing_classes = ["a", "b"]
+
+        def get(self, key, default=None):
+            return {7: 0, 9: 1} if key == "thing_dataset_id_to_contiguous_id" else default
+
+    ev = COCOEvaluator.__new__(COCOEvaluator)
+    ev._meta = _Meta()
+    ev._gt_by_image = {
+        "img1": [{"bbox": [10, 20, 50, 80], "category_id": 0, "iscrowd": 0}]
+    }
+    ev._output_dir = str(tmp_path)
+    ev.reset()
+    ev.process_detections(
+        ["img1"],
+        np.asarray([[[10.0, 20.0, 50.0, 80.0]]]),
+        np.asarray([[0.9]]),
+        np.asarray([[1]]),
+        np.asarray([[True]]),
+    )
+    ev.evaluate()
+    dump = json.load(open(os.path.join(tmp_path, "coco_instances_results.json")))
+    assert dump == [
+        {
+            "image_id": "img1",
+            "category_id": 9,  # contiguous 1 -> dataset id 9
+            "bbox": [10.0, 20.0, 40.0, 60.0],  # XYWH
+            "score": 0.9,
+        }
+    ]

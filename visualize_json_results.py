@@ -3,8 +3,12 @@
 Parity with the reference visualize_json_results.py:42-101, without the
 cv2/detectron2 dependencies: draws boxes with PIL on top of the originals.
 
-Input json: a list of {"image_id", "bbox" [x1,y1,x2,y2], "score",
-"category_id"} records (the COCO-format dump our evaluators produce).
+Input json: a list of {"image_id", "bbox" [x,y,w,h] (COCO XYWH), "score",
+"category_id"} records — the coco_instances_results.json dump our
+evaluators produce (same convention as the reference's
+instances_to_coco_json; the reference visualizer converts XYWH->XYXY at
+visualize_json_results.py:55-57). category_id is a dataset id when the
+dataset defines an id map (COCO), else a contiguous index (VOC).
 """
 
 from __future__ import annotations
@@ -49,6 +53,8 @@ def main():
     register_all()
     meta = MetadataCatalog.get(args.dataset)
     classes = meta.thing_classes
+    id_map = meta.get("thing_dataset_id_to_contiguous_id")
+    to_contig = (lambda c: id_map.get(c, 0)) if id_map else (lambda c: c)
     dicts = get_detection_dataset_dicts([args.dataset], filter_empty=False)
     by_id = {r["image_id"]: r for r in dicts}
 
@@ -70,9 +76,16 @@ def main():
         keep = [p for p in prs if p["score"] >= args.conf_threshold]
         draw(
             pred_img,
-            [p["bbox"] for p in keep],
-            [f"{classes[p['category_id']]} {p['score']:.2f}" for p in keep],
-            [_color(p["category_id"]) for p in keep],
+            [
+                [p["bbox"][0], p["bbox"][1],
+                 p["bbox"][0] + p["bbox"][2], p["bbox"][1] + p["bbox"][3]]
+                for p in keep
+            ],
+            [
+                f"{classes[to_contig(p['category_id'])]} {p['score']:.2f}"
+                for p in keep
+            ],
+            [_color(to_contig(p["category_id"])) for p in keep],
         )
 
         gt_img = img.copy()
