@@ -1,0 +1,171 @@
+# mAP overfit sanity: train a tiny model on a 6-image synthetic set with
+# VISIBLE objects (solid colored rectangles on gray; class <-> color), then
+# evaluate ON THE TRAIN IMAGES through the full inference + VOC-evaluator
+# chain. Loss curves can't see coordinate or evaluator misalignments; a
+# high AP50 here proves train -> detect -> rescale -> match -> AP agree end
+# to end. Run on TPU (default) or FSODTF_PLATFORM=cpu.
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, '.')
+sys.path.insert(0, 'tests')
+
+import numpy as np
+from PIL import Image
+
+VOC_XML = """<annotation>
+  <size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+  {objs}
+</annotation>"""
+OBJ_XML = """<object>
+    <name>{name}</name><difficult>0</difficult>
+    <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+  </object>"""
+
+CLASS_COLORS = {"dog": (220, 40, 40), "cat": (40, 220, 40), "bird": (40, 40, 220)}
+
+
+def make_visual_voc(root, n=6):
+    d = os.path.join(root, "VOC2007")
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+    rng = np.random.RandomState(7)
+    ids = []
+    for i in range(n):
+        fid = f"{i:06d}"
+        ids.append(fid)
+        w, h = 320, 240
+        img = np.full((h, w, 3), 128, np.uint8)
+        objs = ""
+        for name in ("dog", "cat", "bird"):
+            bw, bh = int(rng.randint(50, 90)), int(rng.randint(50, 90))
+            x1 = int(rng.randint(0, w - bw))
+            y1 = int(rng.randint(0, h - bh))
+            img[y1:y1 + bh, x1:x1 + bw] = CLASS_COLORS[name]
+            objs += OBJ_XML.format(
+                name=name, x1=x1 + 1, y1=y1 + 1, x2=x1 + bw, y2=y1 + bh
+            )
+        with open(os.path.join(d, "Annotations", fid + ".xml"), "w") as f:
+            f.write(VOC_XML.format(w=w, h=h, objs=objs))
+        Image.fromarray(img).save(os.path.join(d, "JPEGImages", fid + ".jpg"))
+    with open(os.path.join(d, "ImageSets/Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids))
+    return d
+
+
+def main():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        DatasetCatalog,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.builtin_meta import (
+        _get_builtin_metadata,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.meta_voc import (
+        register_meta_voc,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+    import main as cli
+
+    root = tempfile.mkdtemp()
+    d = make_visual_voc(root)
+    meta = _get_builtin_metadata("voc_fewshot")
+    for split in ("mapof_train", "mapof_test"):
+        register_meta_voc(
+            split, meta, d, "trainval", 2007, "base_novel_1", 1, root=root
+        )
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 14
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.3
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.TPU.IMAGE_BUCKETS = ((256, 384),)
+    cfg.TPU.MAX_GT = 10
+    cfg.TPU.MAX_DETECTIONS_PRE_NMS = 128
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.INPUT.MIN_SIZE_TRAIN = (256,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 384
+    cfg.INPUT.MIN_SIZE_TEST = 256
+    cfg.INPUT.MAX_SIZE_TEST = 384
+    cfg.SOLVER.IMS_PER_BATCH = 6
+    cfg.SOLVER.MAX_ITER = 500
+    cfg.SOLVER.STEPS = (380, 450)
+    cfg.SOLVER.BASE_LR = 0.02
+    cfg.SOLVER.WARMUP_ITERS = 50
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.DATASETS.TRAIN = ("mapof_train",)
+    cfg.DATASETS.TEST = ("mapof_test",)
+    cfg.OUTPUT_DIR = os.path.join(root, "out")
+    cfg.SEED = 11
+
+    t0 = time.time()
+    tr = Trainer(cfg)
+    tr.train()
+    res = cli.do_test(cfg, params=tr.params, model=tr.model)
+    ap50 = res["mapof_test"]["bbox"]["AP50"]
+    # VOC AP averages over ALL 20 classes; only 3 exist here, so a perfect
+    # detector scores exactly 3/20*100 = 15.0. The sharp check is recall:
+    # every GT object must be matched at IoU>0.5 by a same-class detection.
+    import json
+
+    import xml.etree.ElementTree as ET
+
+    dets = json.load(
+        open(os.path.join(cfg.OUTPUT_DIR, "coco_instances_results.json"))
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        MetadataCatalog,
+    )
+
+    classes = MetadataCatalog.get("mapof_test").thing_classes
+    name_to_id = {n: i for i, n in enumerate(classes)}
+    total = hit = 0
+    for fid in sorted({dd["image_id"] for dd in dets}):
+        tree = ET.parse(os.path.join(d, "Annotations", f"{fid}.xml"))
+        for obj in tree.findall("object"):
+            total += 1
+            bb = obj.find("bndbox")
+            # loader applies the VOC -1 origin shift
+            g = [float(bb.find(t).text) - (1 if t in ("xmin", "ymin") else 0)
+                 for t in ("xmin", "ymin", "xmax", "ymax")]
+            cid = name_to_id[obj.find("name").text]
+            for dd in dets:
+                if dd["image_id"] != fid or dd["category_id"] != cid:
+                    continue
+                x, y, w, h = dd["bbox"]
+                ix = max(0, min(g[2], x + w) - max(g[0], x))
+                iy = max(0, min(g[3], y + h) - max(g[1], y))
+                inter = ix * iy
+                union = (g[2] - g[0]) * (g[3] - g[1]) + w * h - inter
+                if inter / union > 0.5:
+                    hit += 1
+                    break
+    recall = hit / max(total, 1)
+    print(
+        f"wall {time.time()-t0:.0f}s  AP50={ap50:.2f} "
+        f"(3 of 20 classes present; perfect = 15.0)  "
+        f"recall@0.5 on memorized set: {hit}/{total}"
+    )
+    assert recall >= 0.9, f"overfit recall too low: {recall}"
+    assert ap50 > 12.0, f"overfit AP50 too low: {ap50}"
+    print("MAP OVERFIT CHECK PASSED")
+
+
+if __name__ == "__main__":
+    main()
