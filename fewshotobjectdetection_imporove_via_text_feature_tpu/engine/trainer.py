@@ -250,3 +250,14 @@ class Trainer:
             },
             name=name or f"model_{iteration:07d}",
         )
+
+    def test(self, cfg=None, params=None):
+        """Evaluate on cfg.DATASETS.TEST — DefaultTrainer.test parity
+        (ref engine/defaults.py:461-516). Returns {dataset: results}."""
+        import main as cli
+
+        return cli.do_test(
+            cfg or self.cfg,
+            params=self.params if params is None else params,
+            model=self.model,
+        )

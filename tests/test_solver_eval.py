@@ -183,3 +183,24 @@ def test_coco_json_dump_is_xywh(tmp_path):
             "score": 0.9,
         }
     ]
+
+
+def test_trainer_test_method(tmp_path, monkeypatch):
+    """DefaultTrainer.test parity: trainer.test() evaluates DATASETS.TEST."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from test_end_to_end import setup_dataset, tiny_cfg
+
+    setup_dataset(str(tmp_path))
+    cfg = tiny_cfg(tmp_path)
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+
+    tr = Trainer(cfg)
+    tr.train()
+    res = tr.test()
+    assert "e2e_voc_2007_test_all1" in res
+    assert "AP50" in res["e2e_voc_2007_test_all1"]["bbox"]
