@@ -222,11 +222,16 @@ def maybe_load_reference_weights(path: str, params: Dict) -> Dict:
     import logging
     import os
 
-    if not path or not os.path.exists(path):
-        logging.getLogger(__name__).warning(
-            "MODEL.WEIGHTS %r not found; training from scratch", path
-        )
+    if not path:
         return params
+    if not os.path.exists(path):
+        # The reference crashes here too (fvcore Checkpointer asserts the
+        # file exists). Silently evaluating a random-init model because of
+        # a typo'd path is far worse than failing loudly.
+        raise FileNotFoundError(
+            f"MODEL.WEIGHTS {path!r} does not exist. Set MODEL.WEIGHTS '' "
+            "explicitly to train from scratch."
+        )
     new, matched, skipped = load_reference_weights(path, params)
     logging.getLogger(__name__).info(
         "Loaded %d tensors from %s (%d unmatched)", matched, path, len(skipped)
