@@ -32,15 +32,34 @@ def inference_on_dataset(
     data_loader,
     evaluator: Optional[DatasetEvaluator],
     pcb=None,
+    mesh=None,
 ):
     """Run inference over the loader; returns evaluator results.
 
     model/params: flax module + params; pcb: optional
     PrototypicalCalibrationBlock applied to each batch's detections
-    (ref evaluator.py:104-124).
+    (ref evaluator.py:104-124). With ``mesh`` (a 1-D data mesh), batches
+    whose size divides the mesh shard over devices — the TPU equivalent of
+    the reference's InferenceSampler test-set sharding across ranks
+    (dataloader/build.py:385, comm.gather in the evaluators); detections
+    gather back to host when converted to numpy.
     """
     if evaluator is not None:
         evaluator.reset()
+
+    use_mesh = mesh is not None and mesh.size > 1
+    if use_mesh:
+        from ..parallel.mesh import replicate
+
+        params = replicate(mesh, params)
+
+    def maybe_shard(images, extra=()):
+        if not use_mesh or images.image.shape[0] % mesh.size:
+            return (images, *extra)
+        from ..parallel.mesh import shard_batch
+
+        return (shard_batch(mesh, images),
+                *(shard_batch(mesh, e) for e in extra))
 
     apply_fn = jax.jit(partial(model.apply, train=False))
 
@@ -72,13 +91,17 @@ def inference_on_dataset(
     for images, gt, meta in data_loader:
         t0 = time.perf_counter()
         if "short" in meta:
+            images, short, flip = maybe_shard(
+                images,
+                (np.asarray(meta["short"]), np.asarray(meta["flip"])),
+            )
             det = apply_raw(
-                {"params": params}, images,
-                np.asarray(meta["short"]), np.asarray(meta["flip"]),
+                {"params": params}, images, short, flip,
                 tuple(meta["target_hw"]),
                 int(meta["max_size"]),
             )
         else:
+            (images,) = maybe_shard(images)
             det = apply_fn({"params": params}, images)
         det = jax.block_until_ready(det)
         t1 = time.perf_counter()

@@ -128,11 +128,29 @@ def do_test(cfg, params=None, model=None):
 
         pcb = PrototypicalCalibrationBlock(cfg)
 
+    # multi-device eval: shard the test batch across the data mesh
+    # (InferenceSampler parity, ref dataloader/build.py:385)
+    mesh = None
+    ndev = len(jax.devices())
+    batch_size = 4
+    if ndev > 1:
+        from fewshotobjectdetection_imporove_via_text_feature_tpu.parallel.mesh import (
+            get_mesh,
+        )
+
+        while batch_size % ndev:
+            ndev -= 1
+        mesh = get_mesh(ndev)
+
     results = {}
     for dataset_name in cfg.DATASETS.TEST:
-        loader = build_detection_test_loader(cfg, dataset_name, batch_size=4)
+        loader = build_detection_test_loader(
+            cfg, dataset_name, batch_size=batch_size
+        )
         evaluator = build_evaluator(cfg, dataset_name, cfg.OUTPUT_DIR)
-        res = inference_on_dataset(model, params, loader, evaluator, pcb=pcb)
+        res = inference_on_dataset(
+            model, params, loader, evaluator, pcb=pcb, mesh=mesh
+        )
         results[dataset_name] = res
         print_csv_format(res)
         if not verify_results(cfg, res):

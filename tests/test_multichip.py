@@ -59,3 +59,61 @@ def test_dp_grads_match_single_device():
         sharded = float(f(p_r, im_s, gt_s))
 
     np.testing.assert_allclose(single, sharded, rtol=2e-4)
+
+
+def test_sharded_eval_matches_single_device():
+    """inference_on_dataset over a 4-device data mesh must produce the
+    same detections as the unsharded path (InferenceSampler parity)."""
+    import functools
+
+    import jax
+    import numpy as np
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.evaluator import (
+        inference_on_dataset,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.parallel.mesh import (
+        get_mesh,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        ImageBatch,
+    )
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 devices")
+    from tests.test_model_smoke import tiny_model
+
+    model = tiny_model()
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    images = ImageBatch(
+        image=np.asarray(rng.uniform(0, 255, (4, h, w, 3)), np.float32),
+        hw=np.asarray([[h, w]] * 4, np.int32),
+        orig_hw=np.asarray([[h, w]] * 4, np.int32),
+    )
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, images
+    )
+
+    class _Collect:
+        def reset(self):
+            self.dets = []
+
+        def process_detections(self, ids, boxes, scores, classes, valid):
+            self.dets.append((boxes, scores, classes, valid))
+
+        def evaluate(self):
+            return {}
+
+    def loader():
+        yield images, None, {"image_ids": ["a", "b", "c", "d"]}
+
+    ev1, ev2 = _Collect(), _Collect()
+    inference_on_dataset(model, variables["params"], loader(), ev1)
+    inference_on_dataset(
+        model, variables["params"], loader(), ev2, mesh=get_mesh(4)
+    )
+    for a, b in zip(ev1.dets[0], ev2.dets[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
