@@ -18,8 +18,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    devices = jax.devices()
+def get_mesh(
+    num_devices: Optional[int] = None,
+    axis_name: str = "data",
+    local: bool = False,
+) -> Mesh:
+    """1-D data mesh. ``local=True`` restricts to this process's devices —
+    required for paths that fetch results to the host (e.g. evaluation),
+    since arrays spanning non-addressable devices cannot be fetched."""
+    devices = jax.local_devices() if local else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis_name,))

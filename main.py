@@ -26,8 +26,11 @@ def default_argument_parser():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--eval-iter", type=int, default=-1)
-    # accepted for CLI compat with reference run scripts (ignored: the mesh
-    # picks up all local devices)
+    # --num-gpus is accepted for CLI compat with reference run scripts and
+    # ignored (the mesh picks up all local devices). --num-machines /
+    # --machine-rank / --dist-url map onto jax.distributed.initialize: the
+    # multi-host analog of the reference's launch() + NCCL init
+    # (ref main.py:125-132, engine/defaults.py:57-67).
     parser.add_argument("--num-gpus", type=int, default=1)
     parser.add_argument("--num-machines", type=int, default=1)
     parser.add_argument("--machine-rank", type=int, default=0)
@@ -128,10 +131,13 @@ def do_test(cfg, params=None, model=None):
 
         pcb = PrototypicalCalibrationBlock(cfg)
 
-    # multi-device eval: shard the test batch across the data mesh
-    # (InferenceSampler parity, ref dataloader/build.py:385)
+    # multi-device eval: shard the test batch across the LOCAL data mesh
+    # (InferenceSampler parity, ref dataloader/build.py:385). Detections
+    # are fetched to the host, so the mesh must not span other processes;
+    # under multi-host each process evaluates the full set redundantly
+    # (correct everywhere; cross-host test-set slicing is future work).
     mesh = None
-    ndev = len(jax.devices())
+    ndev = len(jax.local_devices())
     batch_size = 4
     if ndev > 1:
         from fewshotobjectdetection_imporove_via_text_feature_tpu.parallel.mesh import (
@@ -140,7 +146,7 @@ def do_test(cfg, params=None, model=None):
 
         while batch_size % ndev:
             ndev -= 1
-        mesh = get_mesh(ndev)
+        mesh = get_mesh(ndev, local=True)
 
     results = {}
     for dataset_name in cfg.DATASETS.TEST:
@@ -168,6 +174,26 @@ def main():
         jax.config.update("jax_platforms", platform)
 
     args = default_argument_parser().parse_args()
+
+    if args.num_machines > 1:
+        # Multi-host: one process per machine joins a global mesh.
+        # jax.distributed.initialize makes jax.devices() global, so the
+        # trainer's data mesh spans hosts and pjit's gradient psum rides
+        # ICI/DCN — the reference's launch()+DDP equivalent.
+        import jax
+
+        if args.dist_url in ("auto", ""):
+            raise ValueError(
+                "--num-machines > 1 needs an explicit --dist-url "
+                "host:port for the jax.distributed coordinator "
+                "(machine-rank 0's address)"
+            )
+        jax.distributed.initialize(
+            coordinator_address=args.dist_url.replace("tcp://", ""),
+            num_processes=args.num_machines,
+            process_id=args.machine_rank,
+        )
+
     cfg = setup(args)
 
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
