@@ -85,7 +85,8 @@ def main(cpu_baseline: bool = False):
     if cpu_baseline:
         rounds, iters, gap = 1, 3, 0.0
     else:
-        rounds, iters, gap = 4, 15, 2.0
+        # contention bursts last tens of seconds; span ~1.5 min of wall
+        rounds, iters, gap = 8, 12, 8.0
     dt = float("inf")
     for r in range(rounds):
         if r:
