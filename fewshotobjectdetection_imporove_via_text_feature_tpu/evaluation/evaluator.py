@@ -83,12 +83,34 @@ def inference_on_dataset(
             raw_fns[target_hw] = fn
         return fn(variables, images, short, flip)
 
+    # multi-host: slice batches round-robin across processes
+    # (InferenceSampler semantics, ref dataloader/build.py:385) and
+    # all-gather each batch's detections so every rank evaluates full
+    # metrics (comm.gather + broadcast analog).
+    import jax as _jax
+
+    pcount = _jax.process_count()
+    pindex = _jax.process_index()
+
     num_warmup = 5
     total_compute = 0.0
     start_time = time.perf_counter()
     num_images = 0
     idx = 0
     for images, gt, meta in data_loader:
+        if pcount > 1 and idx % pcount != pindex:
+            # other ranks own this batch; contribute an empty slot to the
+            # per-batch gather below so ranks stay in lockstep
+            from ..parallel.gather import allgather_pyobj
+
+            for ids, d in filter(None, allgather_pyobj(None)):
+                if evaluator is not None:
+                    evaluator.process_detections(
+                        ids, d["boxes"], d["scores"], d["classes"],
+                        d["valid"],
+                    )
+            idx += 1
+            continue
         t0 = time.perf_counter()
         if "short" in meta:
             images, short, flip = maybe_shard(
@@ -120,14 +142,20 @@ def inference_on_dataset(
             det_np = pcb.execute_calibration(
                 meta["image_ids"][:nvalid], det_np
             )
-        if evaluator is not None:
-            evaluator.process_detections(
-                meta["image_ids"][:nvalid],
-                det_np["boxes"],
-                det_np["scores"],
-                det_np["classes"],
-                det_np["valid"],
+        if pcount > 1:
+            from ..parallel.gather import allgather_pyobj
+
+            entries = filter(
+                None,
+                allgather_pyobj((list(meta["image_ids"][:nvalid]), det_np)),
             )
+        else:
+            entries = [(meta["image_ids"][:nvalid], det_np)]
+        if evaluator is not None:
+            for ids, d in entries:
+                evaluator.process_detections(
+                    ids, d["boxes"], d["scores"], d["classes"], d["valid"]
+                )
         idx += 1
 
     total_time = time.perf_counter() - start_time

@@ -132,10 +132,10 @@ def do_test(cfg, params=None, model=None):
         pcb = PrototypicalCalibrationBlock(cfg)
 
     # multi-device eval: shard the test batch across the LOCAL data mesh
-    # (InferenceSampler parity, ref dataloader/build.py:385). Detections
-    # are fetched to the host, so the mesh must not span other processes;
-    # under multi-host each process evaluates the full set redundantly
-    # (correct everywhere; cross-host test-set slicing is future work).
+    # (detections are fetched to the host, so the mesh must not span other
+    # processes). Across processes, inference_on_dataset slices batches
+    # round-robin and all-gathers detections (InferenceSampler +
+    # comm.gather parity, ref dataloader/build.py:385).
     mesh = None
     ndev = len(jax.local_devices())
     batch_size = 4
