@@ -93,7 +93,8 @@ class _Prefetcher:
 
 
 def build_detection_train_loader(
-    cfg, dataset_names=None, *, seed: int = 0, prefetch: bool = True
+    cfg, dataset_names=None, *, seed: int = 0, prefetch: bool = True,
+    batch_size: int = 0,
 ) -> Iterator:
     """Infinite shuffled loader; batches grouped by image bucket (the
     TPU-shape analog of the reference's aspect-ratio grouping,
@@ -114,7 +115,7 @@ def build_detection_train_loader(
         raw_buckets=cfg.TPU.RAW_BUCKETS,
         native_io=cfg.DATALOADER.NATIVE_IO,
     )
-    batch_size = cfg.SOLVER.IMS_PER_BATCH
+    batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
 
     num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
 

@@ -93,19 +93,60 @@ class Trainer:
     def __init__(self, cfg, model=None):
         self.cfg = cfg
         self.model = model if model is not None else build_model(cfg)
+        pcount = jax.process_count()
         # Largest device count that divides the global batch (the reference
         # asserts batch % world_size == 0, dataloader/build.py:250-255; we
-        # shrink the mesh instead of failing).
+        # shrink the mesh instead of failing). Under multi-host the mesh is
+        # GLOBAL: each process loads its 1/pcount slice of the batch and
+        # shard_batch assembles the global array; pjit's gradient psum
+        # rides ICI/DCN (reference DDP analog, engine/defaults.py:252-258).
+        if pcount > 1 and cfg.SOLVER.IMS_PER_BATCH % pcount:
+            raise ValueError(
+                f"SOLVER.IMS_PER_BATCH {cfg.SOLVER.IMS_PER_BATCH} must be "
+                f"divisible by the process count {pcount}"
+            )
         ndev = len(jax.devices())
-        while cfg.SOLVER.IMS_PER_BATCH % ndev:
-            ndev -= 1
+        if pcount > 1:
+            # no mesh shrinking across processes: every process's local
+            # devices must be in the mesh for host-local batch assembly
+            if cfg.SOLVER.IMS_PER_BATCH % ndev:
+                raise ValueError(
+                    f"multi-host: SOLVER.IMS_PER_BATCH "
+                    f"{cfg.SOLVER.IMS_PER_BATCH} must be divisible by the "
+                    f"global device count {ndev}"
+                )
+            if len(cfg.TPU.IMAGE_BUCKETS) != 1:
+                raise ValueError(
+                    "multi-host training needs a single TPU.IMAGE_BUCKETS "
+                    "entry (per-rank bucket choices would disagree)"
+                )
+        else:
+            while cfg.SOLVER.IMS_PER_BATCH % ndev:
+                ndev -= 1
         self.mesh = get_mesh(ndev)
         self.seed = default_setup(cfg)
+        if pcount > 1:
+            # all processes must init identical params / step rngs
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            self.seed = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(self.seed, np.int32)
+                )
+            )
         self.rng = jax.random.PRNGKey(self.seed)
         self.start_iter = 0
         self.max_iter = cfg.SOLVER.MAX_ITER
 
-        self.loader = build_detection_train_loader(cfg, seed=self.seed)
+        # per-process data slice: decorrelate streams by rank-offsetting
+        # the shuffle seed (deviation from the reference's single shuffle +
+        # strided per-rank slice; statistically equivalent for training)
+        self.loader = build_detection_train_loader(
+            cfg,
+            seed=self.seed + jax.process_index(),
+            batch_size=cfg.SOLVER.IMS_PER_BATCH // pcount,
+        )
         images, gt, _ = next(iter(self.loader))
         self._peek = (images, gt)
 
@@ -142,7 +183,17 @@ class Trainer:
         self.checkpointer = Checkpointer(
             cfg.OUTPUT_DIR, backend=cfg.TPU.CHECKPOINT_BACKEND
         )
-        self.metrics = MetricsLogger(cfg.OUTPUT_DIR)
+        # rank 0 owns metrics.json / tensorboard (ref: writers only on the
+        # main process, defaults.py:371-377); other ranks log to a
+        # rank-suffixed dir so concurrent writes never collide
+        out = (
+            cfg.OUTPUT_DIR
+            if jax.process_index() == 0
+            else os.path.join(
+                cfg.OUTPUT_DIR, f"rank{jax.process_index()}"
+            )
+        )
+        self.metrics = MetricsLogger(out)
         self.hooks = []
 
     def resume_or_load(self, resume: bool = True):
@@ -242,6 +293,8 @@ class Trainer:
         return self.params
 
     def save(self, params, iteration, name=None):
+        if jax.process_index() != 0:
+            return  # rank 0 writes; params are replicated
         self.checkpointer.save(
             {
                 "params": jax.device_get(params),

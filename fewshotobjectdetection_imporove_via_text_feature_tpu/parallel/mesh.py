@@ -32,9 +32,31 @@ def get_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices of other processes — host
+    arrays must then be promoted via host_local_array_to_global_array
+    (device_put cannot address remote devices)."""
+    if jax.process_count() == 1:
+        return False
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place a host numpy pytree with the leading axis sharded over the
-    data mesh axis."""
+    data mesh axis. Under multi-process, each process's array is its LOCAL
+    slice of the global batch (reference semantics: the total batch is
+    split across ranks, dataloader/build.py:250-257) and the global array
+    is assembled across hosts."""
+    if _spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P(axis_name)
+            ),
+            batch,
+        )
     sharding = NamedSharding(mesh, P(axis_name))
 
     def put(x):
@@ -45,7 +67,23 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
 
 def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (params/opt state) across the mesh."""
+    if _spans_processes(mesh):
+        from jax.experimental import multihost_utils
+
+        return jax.tree_util.tree_map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()
+            ),
+            tree,
+        )
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree
-    )
+
+    def put(x):
+        # a replicated array living on a GLOBAL mesh can't device_put onto
+        # a local mesh directly (cross-host transfer); its value is fully
+        # present in the local shard, so hop through the host
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = np.asarray(x.addressable_shards[0].data)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
