@@ -55,7 +55,7 @@ def make_visual_voc(root, n=6):
     return d
 
 
-def main():
+def main(production=False):
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         DatasetCatalog,
     )
@@ -82,31 +82,48 @@ def main():
         )
 
     cfg = get_cfg()
-    cfg.MODEL.RESNETS.DEPTH = 14
-    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
-    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
-    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
-    cfg.MODEL.BACKBONE.FREEZE_AT = 0
-    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
-    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
-    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.3
-    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
-    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
-    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
-    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
-    cfg.TPU.IMAGE_BUCKETS = ((256, 384),)
-    cfg.TPU.MAX_GT = 10
-    cfg.TPU.MAX_DETECTIONS_PRE_NMS = 128
-    cfg.TPU.COMPUTE_DTYPE = "float32"
-    cfg.INPUT.MIN_SIZE_TRAIN = (256,)
-    cfg.INPUT.MAX_SIZE_TRAIN = 384
-    cfg.INPUT.MIN_SIZE_TEST = 256
-    cfg.INPUT.MAX_SIZE_TEST = 384
-    cfg.SOLVER.IMS_PER_BATCH = 6
-    cfg.SOLVER.MAX_ITER = 500
-    cfg.SOLVER.STEPS = (380, 450)
-    cfg.SOLVER.BASE_LR = 0.02
-    cfg.SOLVER.WARMUP_ITERS = 50
+    if production:
+        # FULL production scale: R-101 C4 at 800x1344, bf16 — the exact
+        # flagship config, memorizing the 6-image set on real hardware.
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+        cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.3
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
+        cfg.TPU.IMAGE_BUCKETS = ((800, 1344),)
+        cfg.INPUT.MIN_SIZE_TRAIN = (800,)
+        cfg.INPUT.MAX_SIZE_TRAIN = 1333
+        cfg.INPUT.MIN_SIZE_TEST = 800
+        cfg.INPUT.MAX_SIZE_TEST = 1333
+        cfg.SOLVER.IMS_PER_BATCH = 6
+        cfg.SOLVER.MAX_ITER = 300
+        cfg.SOLVER.STEPS = (220, 270)
+        cfg.SOLVER.BASE_LR = 0.01
+        cfg.SOLVER.WARMUP_ITERS = 50
+    else:
+        cfg.MODEL.RESNETS.DEPTH = 14
+        cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+        cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+        cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
+        cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+        cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.3
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
+        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+        cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
+        cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+        cfg.TPU.IMAGE_BUCKETS = ((256, 384),)
+        cfg.TPU.MAX_GT = 10
+        cfg.TPU.MAX_DETECTIONS_PRE_NMS = 128
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.INPUT.MIN_SIZE_TRAIN = (256,)
+        cfg.INPUT.MAX_SIZE_TRAIN = 384
+        cfg.INPUT.MIN_SIZE_TEST = 256
+        cfg.INPUT.MAX_SIZE_TEST = 384
+        cfg.SOLVER.IMS_PER_BATCH = 6
+        cfg.SOLVER.MAX_ITER = 500
+        cfg.SOLVER.STEPS = (380, 450)
+        cfg.SOLVER.BASE_LR = 0.02
+        cfg.SOLVER.WARMUP_ITERS = 50
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
     cfg.TEST.EVAL_PERIOD = 0
     cfg.DATASETS.TRAIN = ("mapof_train",)
@@ -168,4 +185,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(production="--production" in sys.argv)
