@@ -258,13 +258,20 @@ class ResNetC4(nn.Module):
 
 class Res5Stage(nn.Module):
     """res5 block used inside the C4 ROI head (ref roi_heads.py:313-337):
-    3 bottlenecks, bottleneck 512, out 2048, first_stride 2."""
+    3 bottlenecks, bottleneck 512, out 2048, first_stride 2.
+
+    first_stride=1 is used with strided-bin-elided pooling (the ROI pooler
+    already emitted only every 2nd bin, which is exactly what the stride-2
+    conv1/shortcut of block0 would have read — see Res5ROIHeads); the
+    parameter tree is identical either way.
+    """
 
     num_groups: int = 1
     width_per_group: int = 64
     res2_out_channels: int = 256
     num_blocks: int = 3
     stride_in_1x1: bool = True
+    first_stride: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -276,7 +283,7 @@ class Res5Stage(nn.Module):
             num_blocks=self.num_blocks,
             bottleneck_channels=bottleneck,
             out_channels=out_channels,
-            first_stride=2,
+            first_stride=self.first_stride,
             stride_in_1x1=self.stride_in_1x1,
             dtype=self.dtype,
             name="res5",

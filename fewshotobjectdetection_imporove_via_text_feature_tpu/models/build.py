@@ -36,6 +36,8 @@ def _common_kwargs(cfg):
         stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
         res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
         width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        elide_strided_bins=cfg.TPU.ELIDE_STRIDED_BINS,
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
         freeze_at=freeze_at,
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE,

@@ -64,6 +64,8 @@ class GeneralizedRCNN(nn.Module):
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     width_per_group: int = 64
+    stride_in_1x1: bool = True  # cfg.MODEL.RESNETS.STRIDE_IN_1X1
+    elide_strided_bins: bool = True  # cfg.TPU.ELIDE_STRIDED_BINS
     remat_backbone: bool = False
     freeze_at: int = 3
     freeze_backbone: bool = False
@@ -112,6 +114,7 @@ class GeneralizedRCNN(nn.Module):
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             width_per_group=self.width_per_group,
+            stride_in_1x1=self.stride_in_1x1,
             freeze_at=self.freeze_at,
             remat=self.remat_backbone,
             dtype=self.dtype,
@@ -138,6 +141,8 @@ class GeneralizedRCNN(nn.Module):
                 self.output_layer == "FastRCNNAttentionOutputLayers"
             ),
             roi_chunk=self.roi_chunk,
+            stride_in_1x1=self.stride_in_1x1,
+            elide_strided_bins=self.elide_strided_bins,
             dtype=self.dtype,
         )
         name = self.roi_heads_name

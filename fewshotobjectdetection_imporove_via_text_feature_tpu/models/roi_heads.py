@@ -97,13 +97,30 @@ class Res5ROIHeads(nn.Module):
     # OUTPUT_LAYER FastRCNNAttentionOutputLayers: attended scores become the
     # class logits directly (ref fast_rcnn.py:422-475)
     attention_output_layer: bool = False
+    # Caffe/MSRA stride placement (cfg.MODEL.RESNETS.STRIDE_IN_1X1). With
+    # the stride on block0's 1x1 conv (and on the 1x1 shortcut), the odd
+    # rows/cols of the pooled PxP map are never read by res5 — so the
+    # pooler emits only the even bins (ceil(P/2)²) and res5 runs block0 at
+    # stride 1. Numerically identical outputs/gradients; cuts the ROIAlign
+    # interpolation-matmul intermediate (the HBM-bandwidth bottleneck of
+    # the pooled path) and res5's input traffic by ~(1 - ceil(P/2)²/P²).
+    stride_in_1x1: bool = True
+    elide_strided_bins: bool = True
     dtype: jnp.dtype = jnp.float32
+
+    def _elide(self) -> bool:
+        # only valid when block0's stride sits on the 1x1 convs: with
+        # stride_in_1x1=False the 3x3 conv2 carries the stride and reads
+        # every pooled position.
+        return self.elide_strided_bins and self.stride_in_1x1
 
     def setup(self):
         self.res5 = Res5Stage(
             res2_out_channels=self.res2_out_channels,
             width_per_group=self.width_per_group,
             num_blocks=self.res5_blocks,
+            stride_in_1x1=self.stride_in_1x1,
+            first_stride=1 if self._elide() else 2,
             dtype=self.dtype,
         )
         self.box_predictor = FastRCNNOutputLayers(
@@ -124,15 +141,16 @@ class Res5ROIHeads(nn.Module):
         b, s = boxes.shape[:2]
         chunk = self.roi_chunk if self.roi_chunk > 0 else s
         chunk = min(chunk, s)
+        bin_stride = 2 if self._elide() else 1
         outs = []
         for start in range(0, s, chunk):
             bx = boxes[:, start : start + chunk]
             pooled = jax.vmap(
                 lambda f, bb: roi_align_auto(
                     f, bb, self.pooler_resolution, self.pooler_scale,
-                    self.sampling_ratio,
+                    self.sampling_ratio, bin_stride,
                 )
-            )(features, bx)  # (B, c, 7, 7, C)
+            )(features, bx)  # (B, c, P', P', C)
             pooled = pooled.reshape(
                 b * bx.shape[1], *pooled.shape[2:]
             ).astype(self.dtype)

@@ -76,7 +76,9 @@ def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "spatial_scale", "sampling_ratio"),
+    static_argnames=(
+        "output_size", "spatial_scale", "sampling_ratio", "bin_stride"
+    ),
 )
 def roi_align(
     feat: jnp.ndarray,
@@ -84,6 +86,7 @@ def roi_align(
     output_size: int = 7,
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 2,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
     """ROIAlign over one feature map.
 
@@ -91,12 +94,15 @@ def roi_align(
         feat: (H, W, C) feature map (NHWC layout; channel-last is the
             TPU-friendly layout — lane dimension = C).
         boxes: (R, 4) XYXY in image coordinates.
-        output_size: P — output is (R, P, P, C).
+        output_size: P — output is (R, P', P', C).
         spatial_scale: feature stride reciprocal.
         sampling_ratio: S — SxS samples per bin, averaged.
+        bin_stride: emit only the bins range(0, P, bin_stride) per axis
+            (bin geometry unchanged; P' = number of emitted bins). Used to
+            skip pooled positions a following strided conv never reads.
 
     Returns:
-        (R, P, P, C) pooled features.
+        (R, P', P', C) pooled features.
     """
     p = output_size
     s = sampling_ratio
@@ -113,43 +119,52 @@ def roi_align(
 
     # Sample offsets within the ROI: for output bin i and sub-sample j the
     # position is (i + (j + 0.5)/S) * bin; flatten bins and sub-samples into
-    # one (P*S,) grid per axis.
+    # one (P'*S,) grid per axis.
     grid = (
-        jnp.arange(p, dtype=feat.dtype)[:, None]
+        jnp.arange(0, p, bin_stride, dtype=feat.dtype)[:, None]
         + (jnp.arange(s, dtype=feat.dtype)[None, :] + 0.5) / s
-    ).reshape(-1)  # (P*S,)
+    ).reshape(-1)  # (P'*S,)
+    p_out = len(range(0, p, bin_stride))
 
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (R, P*S)
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]  # (R, P*S)
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (R, P'*S)
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]  # (R, P'*S)
 
-    yy = ys[:, :, None]  # (R, P*S, 1)
-    xx = xs[:, None, :]  # (R, 1, P*S)
-    yy, xx = jnp.broadcast_arrays(yy, xx)  # (R, P*S, P*S)
+    yy = ys[:, :, None]  # (R, P'*S, 1)
+    xx = xs[:, None, :]  # (R, 1, P'*S)
+    yy, xx = jnp.broadcast_arrays(yy, xx)  # (R, P'*S, P'*S)
 
-    vals = _bilinear_sample(feat, yy, xx)  # (R, P*S, P*S, C)
+    vals = _bilinear_sample(feat, yy, xx)  # (R, P'*S, P'*S, C)
     r = boxes.shape[0]
     c = feat.shape[-1]
-    vals = vals.reshape(r, p, s, p, s, c)
+    vals = vals.reshape(r, p_out, s, p_out, s, c)
     return vals.mean(axis=(2, 4))
 
 
 def roi_align_auto(
-    feat, boxes, output_size=7, spatial_scale=1.0 / 16.0, sampling_ratio=2
+    feat, boxes, output_size=7, spatial_scale=1.0 / 16.0, sampling_ratio=2,
+    bin_stride=1, roi_chunk=0,
 ):
     """Backend-aware ROIAlign: the MXU-matmul formulation by default (the
     gather version costs ~170 ms/step in HBM gathers on v5e; the matmul
     version is a few ms — see ops/roi_align_mxu.py). Identical numerics.
-    Override with FSODTF_ROIALIGN=gather|mxu."""
+    Override with FSODTF_ROIALIGN=gather|mxu.
+
+    roi_chunk=0 (default) runs all ROIs in one shot — callers that chunk
+    (Res5ROIHeads.pooled_features) must not pay a second chunk split +
+    concatenate inside (the concat re-copies the full pooled output,
+    ~2.6 ms/step at batch 8 on v5e)."""
     import os
 
     if os.environ.get("FSODTF_ROIALIGN", "mxu") == "gather":
         return roi_align(
-            feat, boxes, output_size, spatial_scale, sampling_ratio
+            feat, boxes, output_size, spatial_scale, sampling_ratio,
+            bin_stride,
         )
     from .roi_align_mxu import roi_align_mxu
 
     return roi_align_mxu(
-        feat, boxes, output_size, spatial_scale, sampling_ratio
+        feat, boxes, output_size, spatial_scale, sampling_ratio,
+        roi_chunk, bin_stride,
     )
 
 

@@ -23,16 +23,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _interp_matrix(start, bin_size, size: int, p: int, s: int, dtype):
+def _interp_matrix(
+    start, bin_size, size: int, p: int, s: int, dtype, bin_stride: int = 1
+):
     """Pooled bilinear interpolation matrix along one axis.
 
     start: (R,) continuous ROI start (feature coords, aligned=True);
-    bin_size: (R,). Returns (R, P, size): row (r, i) holds the averaged
-    bilinear weights of output bin i against the `size` feature positions.
+    bin_size: (R,). Returns (R, P', size) with P' = len(range(0, p,
+    bin_stride)): row (r, i) holds the averaged bilinear weights of output
+    bin range(0, p, bin_stride)[i] against the `size` feature positions.
+
+    bin_stride > 1 emits only every bin_stride-th bin of the P-bin grid
+    (bin geometry unchanged) — used to skip pooled positions that a
+    following stride-`bin_stride` conv would never read.
     """
-    # sample offsets within the ROI: (P*S,)
+    # sample offsets within the ROI: (P'*S,)
     grid = (
-        jnp.arange(p, dtype=dtype)[:, None]
+        jnp.arange(0, p, bin_stride, dtype=dtype)[:, None]
         + (jnp.arange(s, dtype=dtype)[None, :] + 0.5) / s
     ).reshape(-1)
     t = start[:, None] + grid[None, :] * bin_size[:, None]  # (R, P*S)
@@ -48,13 +55,17 @@ def _interp_matrix(start, bin_size, size: int, p: int, s: int, dtype):
     # clamped-at-edge coordinates put full weight on the edge cell already
     w = jnp.where(oob[:, :, None], 0.0, w)
     r = start.shape[0]
-    w = w.reshape(r, p, s, size).sum(axis=2) / s  # average the S sub-samples
+    p_out = len(range(0, p, bin_stride))
+    w = w.reshape(r, p_out, s, size).sum(axis=2) / s  # average sub-samples
     return w
 
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "spatial_scale", "sampling_ratio", "roi_chunk"),
+    static_argnames=(
+        "output_size", "spatial_scale", "sampling_ratio", "roi_chunk",
+        "bin_stride",
+    ),
 )
 def roi_align_mxu(
     feat: jnp.ndarray,       # (H, W, C)
@@ -63,8 +74,10 @@ def roi_align_mxu(
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 2,
     roi_chunk: int = 128,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
-    """(R, P, P, C) pooled features via two matmuls per ROI chunk."""
+    """(R, P', P', C) pooled features via two matmuls per ROI chunk,
+    P' = ceil(output_size / bin_stride) (the bins range(0, P, bin_stride))."""
     p = output_size
     s = sampling_ratio
     h, w, c = feat.shape
@@ -79,8 +92,12 @@ def roi_align_mxu(
     bin_w = jnp.maximum(x2 - x1, 1e-6) / p
     bin_h = jnp.maximum(y2 - y1, 1e-6) / p
 
-    wy = _interp_matrix(y1.astype(wt), bin_h.astype(wt), h, p, s, wt)  # (R,P,H)
-    wx = _interp_matrix(x1.astype(wt), bin_w.astype(wt), w, p, s, wt)  # (R,P,W)
+    wy = _interp_matrix(
+        y1.astype(wt), bin_h.astype(wt), h, p, s, wt, bin_stride
+    )  # (R, P', H)
+    wx = _interp_matrix(
+        x1.astype(wt), bin_w.astype(wt), w, p, s, wt, bin_stride
+    )  # (R, P', W)
     wy = wy.astype(dt)
     wx = wx.astype(dt)
 
