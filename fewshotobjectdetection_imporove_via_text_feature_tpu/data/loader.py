@@ -94,11 +94,22 @@ class _Prefetcher:
 
 def build_detection_train_loader(
     cfg, dataset_names=None, *, seed: int = 0, prefetch: bool = True,
-    batch_size: int = 0,
+    batch_size: int = 0, rank: int = 0, world_size: int = 1,
 ) -> Iterator:
     """Infinite shuffled loader; batches grouped by image bucket (the
     TPU-shape analog of the reference's aspect-ratio grouping,
-    dataloader/build.py:188-290)."""
+    dataloader/build.py:188-290).
+
+    Multi-host (rank, world_size): every process runs the SAME seeded
+    shuffle and the SAME metadata-only bucket grouping (DatasetMapper.plan
+    needs no pixels), so all ranks agree on every global batch — bucket
+    choice included — and each decodes only its contiguous
+    batch_size/world_size slice. This mirrors the reference's single
+    TrainingSampler shuffle shared by all ranks + per-rank world split
+    (detectron2 TrainingSampler / build_batch_data_loader,
+    dataloader/build.py:250-290), and additionally makes the global batch
+    sequence independent of world_size.
+    """
     names = dataset_names or cfg.DATASETS.TRAIN
     dicts = get_detection_dataset_dicts(
         names, filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS
@@ -116,34 +127,45 @@ def build_detection_train_loader(
         native_io=cfg.DATALOADER.NATIVE_IO,
     )
     batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
+    assert batch_size % world_size == 0, (batch_size, world_size)
+    local = batch_size // world_size
 
     num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
+
+    def plans():
+        """The global stream: (epoch, index, plan) with deterministic
+        per-item rngs — identical on every rank."""
+        rng = np.random.RandomState(seed)
+        for epoch in itertools.count():
+            order = rng.permutation(len(dicts))
+            for i in order:
+                r = np.random.RandomState(
+                    (seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
+                )
+                yield epoch, int(i), mapper.plan(dicts[int(i)], r)
+
+    def global_batches():
+        groups: Dict[tuple, List] = {}
+        for epoch, i, plan in plans():
+            key = plan["bucket"]
+            groups.setdefault(key, []).append((epoch, i, plan))
+            if len(groups[key]) == batch_size:
+                yield groups.pop(key)
 
     def generate():
         from concurrent.futures import ThreadPoolExecutor
 
-        rng = np.random.RandomState(seed)
-        groups: Dict[tuple, List] = {}
+        def load(args):
+            epoch, i, plan = args
+            r = np.random.RandomState(
+                (seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
+            )
+            return mapper(dicts[int(i)], r, plan)
+
         with ThreadPoolExecutor(num_workers) as pool:
-            for epoch in itertools.count():
-                order = rng.permutation(len(dicts))
-
-                def load(args):
-                    pos, i = args
-                    # per-item deterministic rng (reproducible under
-                    # thread-pool reordering)
-                    r = np.random.RandomState(
-                        (seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
-                    )
-                    return mapper(dicts[int(i)], r)
-
-                for item in pool.map(
-                    load, enumerate(order), chunksize=4
-                ):
-                    key = item["bucket"]
-                    groups.setdefault(key, []).append(item)
-                    if len(groups[key]) == batch_size:
-                        yield _stack_batch(groups.pop(key))
+            for batch in global_batches():
+                mine = batch[rank * local : (rank + 1) * local]
+                yield _stack_batch(list(pool.map(load, mine, chunksize=4)))
 
     return _Prefetcher(generate) if prefetch else generate()
 

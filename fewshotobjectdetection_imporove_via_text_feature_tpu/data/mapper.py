@@ -75,12 +75,47 @@ class DatasetMapper:
         self.raw_buckets = list(raw_buckets)
         self.native_io = native_io
 
-    def __call__(self, record: Dict, rng: np.random.RandomState):
-        if self.device_preprocess:
-            return self._call_raw(record, rng)
-        return self._call_host(record, rng)
+    def plan(self, record: Dict, rng: np.random.RandomState) -> Dict:
+        """Metadata-only mapping plan: the (short, flip) draws and the
+        resulting bucket, WITHOUT touching pixels.
 
-    def _call_raw(self, record: Dict, rng: np.random.RandomState):
+        Consumes `rng` exactly like __call__ does, so plan(record, rng0) and
+        __call__(record, rng1, plan=...) with identically-seeded rngs agree.
+        Used by the multi-host loader: every process simulates the same
+        global stream's bucket grouping from metadata and only decodes the
+        images of its own slice (reference analog: one TrainingSampler
+        shuffle shared by all ranks, dataloader/build.py:250-290).
+        """
+        h0 = record.get("height")
+        w0 = record.get("width")
+        if h0 is None or w0 is None:  # metadata missing: read the header
+            with Image.open(record["file_name"]) as img:
+                w0, h0 = img.size
+        short = (
+            self.min_sizes[rng.randint(len(self.min_sizes))]
+            if self.is_train
+            else self.min_sizes[0]
+        )
+        flip = bool(self.random_flip and rng.rand() < 0.5)
+        nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
+        if self.device_preprocess:
+            rbh, rbw = pick_bucket(h0, w0, self.raw_buckets or self.buckets)
+            tbh, tbw = pick_bucket(nh, nw, self.buckets)
+            bucket = (rbh, rbw, tbh, tbw)
+        else:
+            bucket = pick_bucket(nh, nw, self.buckets)
+        return {"short": short, "flip": flip, "bucket": bucket}
+
+    def __call__(
+        self, record: Dict, rng: np.random.RandomState, plan: Dict = None
+    ):
+        if plan is None:
+            plan = self.plan(record, rng)
+        if self.device_preprocess:
+            return self._call_raw(record, plan)
+        return self._call_host(record, plan)
+
+    def _call_raw(self, record: Dict, plan: Dict):
         """Device-preprocess mode: emit RAW pixels in a source bucket plus
         the resize plan; pixels are resized/flipped on the TPU
         (data/xla_preprocess.py)."""
@@ -92,13 +127,9 @@ class DatasetMapper:
         if self.image_format == "BGR":
             arr = arr[:, :, ::-1]
 
-        short = (
-            self.min_sizes[rng.randint(len(self.min_sizes))]
-            if self.is_train
-            else self.min_sizes[0]
-        )
+        short = plan["short"]
         nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
-        flip = bool(self.random_flip and rng.rand() < 0.5)
+        flip = plan["flip"]
 
         annos = record.get("annotations", [])
         boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
@@ -140,13 +171,13 @@ class DatasetMapper:
             "flipped": flip,
         }
 
-    def _call_host(self, record: Dict, rng: np.random.RandomState):
+    def _call_host(self, record: Dict, plan: Dict):
         img = Image.open(record["file_name"])  # header only (lazy decode)
         w0, h0 = img.size
 
-        short = self.min_sizes[rng.randint(len(self.min_sizes))] if self.is_train else self.min_sizes[0]
+        short = plan["short"]
         h, w = resize_shortest_edge_size(h0, w0, short, self.max_size)
-        flipped = bool(self.random_flip and rng.rand() < 0.5)
+        flipped = plan["flip"]
         bh, bw = pick_bucket(h, w, self.buckets)
 
         padded = None

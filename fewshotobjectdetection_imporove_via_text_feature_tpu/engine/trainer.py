@@ -115,11 +115,6 @@ class Trainer:
                     f"{cfg.SOLVER.IMS_PER_BATCH} must be divisible by the "
                     f"global device count {ndev}"
                 )
-            if len(cfg.TPU.IMAGE_BUCKETS) != 1:
-                raise ValueError(
-                    "multi-host training needs a single TPU.IMAGE_BUCKETS "
-                    "entry (per-rank bucket choices would disagree)"
-                )
         else:
             while cfg.SOLVER.IMS_PER_BATCH % ndev:
                 ndev -= 1
@@ -139,13 +134,17 @@ class Trainer:
         self.start_iter = 0
         self.max_iter = cfg.SOLVER.MAX_ITER
 
-        # per-process data slice: decorrelate streams by rank-offsetting
-        # the shuffle seed (deviation from the reference's single shuffle +
-        # strided per-rank slice; statistically equivalent for training)
+        # per-process data slice: all ranks run the SAME seeded shuffle and
+        # metadata-only bucket grouping, each decoding its 1/P slice of
+        # every global batch (reference: one TrainingSampler shuffle split
+        # across ranks, dataloader/build.py:250-290). Bucket choices agree
+        # across ranks by construction, so multi-bucket multi-host works.
         self.loader = build_detection_train_loader(
             cfg,
-            seed=self.seed + jax.process_index(),
-            batch_size=cfg.SOLVER.IMS_PER_BATCH // pcount,
+            seed=self.seed,
+            batch_size=cfg.SOLVER.IMS_PER_BATCH,
+            rank=jax.process_index(),
+            world_size=pcount,
         )
         images, gt, _ = next(iter(self.loader))
         self._peek = (images, gt)
