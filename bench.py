@@ -29,14 +29,22 @@ BATCH = 8
 H, W = 800, 1344
 
 
-def make_inputs(batch):
+def make_inputs(batch, host_s2d=True, seed=0):
+    """Batches in the production loader's format: uint8 pixels, host-side
+    2x2 space-to-depth (TPU.HOST_SPACE_TO_DEPTH; data/mapper.py)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.backbone import (
+        space_to_depth,
+    )
     from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
         ImageBatch,
     )
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, (batch, H, W, 3), dtype=np.uint8)
+    if host_s2d:
+        imgs = np.stack([space_to_depth(im) for im in imgs])
     return ImageBatch(
-        image=np.asarray(rng.uniform(0, 255, (batch, H, W, 3)), np.float32),
+        image=imgs,
         hw=np.asarray([[H, W]] * batch, np.int32),
         orig_hw=np.asarray([[H, W]] * batch, np.int32),
     )
@@ -63,6 +71,23 @@ def main(cpu_baseline: bool = False):
     model = build()
     images = make_inputs(batch)
 
+    # EVERY timed execution gets a never-seen-before input: repeated
+    # executions of an already-seen (program, args) pair can be served
+    # from a relay-side cache and read impossibly fast (measured 16 ms/step
+    # vs a >=28 ms MXU-peak floor for this program, even when cycling a
+    # small pool of inputs). The per-iteration pixel mutation happens on
+    # the host OUTSIDE the timed region.
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        ImageBatch,
+    )
+
+    def fresh_input(k):
+        imgs = np.array(images.image)  # host copy
+        imgs[0, 0, 0, :2] = (k // 256, k % 256)
+        return ImageBatch(
+            image=imgs, hw=images.hw, orig_hw=images.orig_hw
+        )
+
     init = jax.jit(lambda r, i: model.init(r, i, train=False))
     variables = init({"params": jax.random.PRNGKey(0)}, images)
 
@@ -86,15 +111,28 @@ def main(cpu_baseline: bool = False):
         rounds, iters, gap = 1, 3, 0.0
     else:
         # contention bursts last tens of seconds; span ~1.5 min of wall
-        rounds, iters, gap = 8, 12, 8.0
+        rounds, iters, gap = 8, 6, 8.0
+    # Steady-state protocol: dispatch `iters` executions with DISTINCT
+    # inputs back to back, then read a few bytes from EVERY output.
+    # - distinct inputs: an already-seen (program, args) pair can be served
+    #   from a relay-side cache (measured 16 ms/step vs the >=28 ms
+    #   MXU-peak floor of this program);
+    # - readback of every output: block_until_ready through the relay can
+    #   resolve before the computation ran (measured 5.5 ms/step);
+    # - dispatch-then-read: keeps the dispatch pipeline full, like a real
+    #   serving loop — per-request relay latency overlaps execution.
     dt = float("inf")
+    k = 0
     for r in range(rounds):
         if r:
             time.sleep(gap)
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(apply_fn(variables, images))
-            dt = min(dt, time.perf_counter() - t0)
+        ims = [fresh_input(k + i) for i in range(iters)]
+        k += iters
+        t0 = time.perf_counter()
+        outs = [apply_fn(variables, im) for im in ims]
+        for out in outs:
+            np.asarray(out.scores)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     ips = batch / dt
 
     if cpu_baseline:

@@ -125,6 +125,7 @@ def build_detection_train_loader(
         device_preprocess=cfg.TPU.DEVICE_PREPROCESS,
         raw_buckets=cfg.TPU.RAW_BUCKETS,
         native_io=cfg.DATALOADER.NATIVE_IO,
+        host_s2d=cfg.TPU.HOST_SPACE_TO_DEPTH,
     )
     batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
     assert batch_size % world_size == 0, (batch_size, world_size)
@@ -187,6 +188,7 @@ def build_detection_test_loader(
         device_preprocess=cfg.TPU.DEVICE_PREPROCESS,
         raw_buckets=cfg.TPU.RAW_BUCKETS,
         native_io=cfg.DATALOADER.NATIVE_IO,
+        host_s2d=cfg.TPU.HOST_SPACE_TO_DEPTH,
     )
 
     num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))

@@ -60,6 +60,7 @@ class DatasetMapper:
         device_preprocess: bool = False,
         raw_buckets: Sequence[Tuple[int, int]] = (),
         native_io: bool = True,
+        host_s2d: bool = False,
     ):
         self.is_train = is_train
         self.min_sizes = (
@@ -74,6 +75,9 @@ class DatasetMapper:
         self.device_preprocess = device_preprocess
         self.raw_buckets = list(raw_buckets)
         self.native_io = native_io
+        # host 2x2 space-to-depth (backbone.py space_to_depth); skips the
+        # on-device relayout the s2d stem otherwise pays
+        self.host_s2d = host_s2d and not device_preprocess
 
     def plan(self, record: Dict, rng: np.random.RandomState) -> Dict:
         """Metadata-only mapping plan: the (short, flip) draws and the
@@ -234,6 +238,11 @@ class DatasetMapper:
         gt_boxes[:n] = boxes[:n]
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
+
+        if self.host_s2d and padded.shape[0] % 2 == 0 and padded.shape[1] % 2 == 0:
+            from ..models.backbone import space_to_depth
+
+            padded = space_to_depth(padded)
 
         return {
             "image": padded,

@@ -44,24 +44,36 @@ class _SpaceToDepthStem(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    # input already in 2x2 space-to-depth layout (B, H/2, W/2, 4c), e.g.
+    # shuffled on the host by the data loader (space_to_depth below) — the
+    # on-device C=3 relayout costs ~1.6 ms/step at batch 8 otherwise
+    pre_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        cin = c // 4 if self.pre_s2d else c
         k = self.param(
             "kernel",
             nn.initializers.variance_scaling(
                 2.0, "fan_out", "truncated_normal"
             ),
-            (7, 7, c, self.features),
+            (7, 7, cin, self.features),
         )
         # (7,7,c,o) -> zero-pad top-left -> (8,8,c,o) -> (4,2,4,2,c,o)
         # -> (s,t,p,q,c,o) -> (4,4,4c,o)
         k2 = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        k2 = k2.reshape(4, 2, 4, 2, c, self.features)
-        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
-        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        k2 = k2.reshape(4, 2, 4, 2, cin, self.features)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * cin, self.features
+        )
+        if self.pre_s2d:
+            x2 = x
+        else:
+            x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // 2, w // 2, 4 * c
+            )
         return jax.lax.conv_general_dilated(
             x2.astype(self.dtype),
             k2.astype(self.dtype),
@@ -69,6 +81,16 @@ class _SpaceToDepthStem(nn.Module):
             padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+
+
+def space_to_depth(arr):
+    """Host-side 2x2 space-to-depth matching _SpaceToDepthStem's channel
+    order: (H, W, C) -> (H/2, W/2, 4C) with channel index (p*2+q)*C + c.
+    numpy in, numpy out; used by the data loader."""
+    h, w, c = arr.shape
+    a = arr.reshape(h // 2, 2, w // 2, 2, c)
+    a = a.transpose(0, 2, 1, 3, 4)
+    return a.reshape(h // 2, w // 2, 4 * c)
 
 
 class FrozenBN(nn.Module):
@@ -206,7 +228,7 @@ class ResNetC4(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pre_s2d: bool = False):
         x = x.astype(self.dtype)
         # Stem: 7x7/2 + FrozenBN + relu + maxpool 3x3/2. The 7x7/2 conv over
         # 3 input channels runs the MXU at <10% (contraction depth 3); the
@@ -214,8 +236,14 @@ class ResNetC4(nn.Module):
         # as an arithmetically identical 4x4/1 conv over a 2x2-depth-stacked
         # input (12 channels, contraction depth 192). The parameter keeps
         # the reference (7,7,3,C) layout so Caffe2/torch weight import is
-        # unchanged; the kernel is rearranged at trace time.
-        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # unchanged; the kernel is rearranged at trace time. With
+        # pre_s2d=True the input arrives already shuffled (host loader).
+        if pre_s2d:
+            x = _SpaceToDepthStem(
+                self.stem_out_channels, name="stem_conv1", dtype=self.dtype,
+                pre_s2d=True,
+            )(x)
+        elif x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = _SpaceToDepthStem(
                 self.stem_out_channels, name="stem_conv1", dtype=self.dtype
             )(x)

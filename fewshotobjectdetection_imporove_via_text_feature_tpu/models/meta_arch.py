@@ -188,15 +188,22 @@ class GeneralizedRCNN(nn.Module):
     # ------------------------------------------------------------------
     def normalize(self, image: jnp.ndarray) -> jnp.ndarray:
         # images may arrive uint8 (4x cheaper host->device transfer; the
-        # reference's PIL-resized pixels are uint8 too)
+        # reference's PIL-resized pixels are uint8 too), and may arrive in
+        # host space-to-depth layout (C = 12 = 2x2x3, backbone.py
+        # space_to_depth) — the per-pixel stats then tile 4x.
         image = image.astype(jnp.float32)
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
         std = jnp.asarray(self.pixel_std, jnp.float32)
+        reps = image.shape[-1] // mean.shape[0]
+        if reps > 1:
+            mean = jnp.tile(mean, reps)
+            std = jnp.tile(std, reps)
         return (image - mean) / std
 
     def compute_features(self, images: ImageBatch):
         x = self.normalize(images.image)
-        feats = self.backbone(x)
+        pre_s2d = images.image.shape[-1] == 4 * len(self.pixel_mean)
+        feats = self.backbone(x, pre_s2d=pre_s2d)
         feat = feats["res4"]
         if self.freeze_backbone:
             feat = jax.lax.stop_gradient(feat)
