@@ -191,9 +191,15 @@ class GeneralizedRCNN(nn.Module):
         # reference's PIL-resized pixels are uint8 too), and may arrive in
         # host space-to-depth layout (C = 12 = 2x2x3, backbone.py
         # space_to_depth) — the per-pixel stats then tile 4x.
-        image = image.astype(jnp.float32)
-        mean = jnp.asarray(self.pixel_mean, jnp.float32)
-        std = jnp.asarray(self.pixel_std, jnp.float32)
+        #
+        # The arithmetic runs in the compute dtype: the backbone quantizes
+        # its input to bf16 immediately anyway, so normalize-in-f32 +
+        # cast-bf16 yields the same values (±1 ulp) while materializing an
+        # extra full-resolution f32 image (~1 ms/step at batch 8).
+        dt = self.dtype
+        image = image.astype(dt)
+        mean = jnp.asarray(self.pixel_mean, dt)
+        std = jnp.asarray(self.pixel_std, dt)
         reps = image.shape[-1] // mean.shape[0]
         if reps > 1:
             mean = jnp.tile(mean, reps)
