@@ -109,9 +109,16 @@ def main(cpu_baseline: bool = False):
     # separated by short sleeps and take the global minimum.
     if cpu_baseline:
         rounds, iters, gap = 1, 3, 0.0
+        budget = float("inf")
+        quiet_cutoff = 0.0
     else:
-        # contention bursts last tens of seconds; span ~1.5 min of wall
-        rounds, iters, gap = 8, 6, 8.0
+        # contention bursts can last minutes: sample gapped rounds until a
+        # near-quiet window shows up (a step within ~1.6x of this program's
+        # ~50 ms device floor) or the time budget runs out, then report the
+        # global min
+        rounds, iters, gap = 40, 6, 10.0
+        budget = 420.0
+        quiet_cutoff = 0.080
     # Steady-state protocol: dispatch `iters` executions with DISTINCT
     # inputs back to back, then read a few bytes from EVERY output.
     # - distinct inputs: an already-seen (program, args) pair can be served
@@ -123,8 +130,14 @@ def main(cpu_baseline: bool = False):
     #   serving loop — per-request relay latency overlaps execution.
     dt = float("inf")
     k = 0
+    bench_start = time.perf_counter()
     for r in range(rounds):
         if r:
+            if (
+                dt <= quiet_cutoff
+                or time.perf_counter() - bench_start > budget
+            ):
+                break
             time.sleep(gap)
         ims = [fresh_input(k + i) for i in range(iters)]
         k += iters
