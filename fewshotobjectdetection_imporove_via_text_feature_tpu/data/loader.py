@@ -166,7 +166,9 @@ def build_detection_train_loader(
         with ThreadPoolExecutor(num_workers) as pool:
             for batch in global_batches():
                 mine = batch[rank * local : (rank + 1) * local]
-                yield _stack_batch(list(pool.map(load, mine, chunksize=4)))
+                # chunksize 1: a batch is only `local` items — larger
+                # chunks would leave decode workers idle
+                yield _stack_batch(list(pool.map(load, mine)))
 
     return _Prefetcher(generate) if prefetch else generate()
 
