@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 @partial(
     jax.jit,
-    static_argnames=("max_size", "out_hw"),
+    static_argnames=("max_size", "out_hw", "out_s2d"),
 )
 def device_resize_batch(
     raw: jnp.ndarray,       # (B, Hs, Ws, 3) uint8/float — raw pixels padded
@@ -30,12 +30,20 @@ def device_resize_batch(
     short,                  # scalar or (B,) — per-image for multi-scale train
     max_size: int,
     out_hw: Tuple[int, int],
+    out_s2d: bool = False,
 ):
     """ResizeShortestEdge + hflip into a fixed (B, H, W, 3) canvas.
 
     Returns (images float32 (B, H, W, 3), new_hw (B, 2) int32).
     detectron2 scale rule: scale = short / min(h, w), then shrink to keep
     max(h, w) * scale <= max_size; output rounded like the host mapper.
+
+    out_s2d=True emits the backbone stem's 2x2 space-to-depth layout
+    (B, H/2, W/2, 12) directly: the resize runs as four sub-grid
+    scale_and_translate passes (one per 2x2 phase, translation shifted by
+    (0.25 - p/2)) whose channel concatenation IS the s2d layout — same
+    interpolation math as the plain resize, but no on-device relayout
+    afterwards (the C=3 shuffle costs ~1.6 ms/step at batch 8).
     """
     oh, ow = out_hw
     short = jnp.broadcast_to(
@@ -62,21 +70,48 @@ def device_resize_batch(
         flipped = jnp.roll(flipped, -shift, axis=1)
         img = jnp.where(fl, flipped, img)
 
-        out = jax.image.scale_and_translate(
-            img,
-            shape=(oh, ow, 3),
-            spatial_dims=(0, 1),
-            scale=jnp.stack([sy, sx]),
-            translation=jnp.zeros((2,), jnp.float32),
-            method="linear",
-            antialias=False,
-        )
-        # zero out beyond the valid resized extent
-        yy = jnp.arange(oh, dtype=jnp.float32)[:, None]
-        xx = jnp.arange(ow, dtype=jnp.float32)[None, :]
-        mask = (yy < newh) & (xx < neww)
-        out = out * mask[..., None]
-        return out, jnp.stack([newh, neww]).astype(jnp.int32)
+        new_hw = jnp.stack([newh, neww]).astype(jnp.int32)
+
+        if not out_s2d:
+            out = jax.image.scale_and_translate(
+                img,
+                shape=(oh, ow, 3),
+                spatial_dims=(0, 1),
+                scale=jnp.stack([sy, sx]),
+                translation=jnp.zeros((2,), jnp.float32),
+                method="linear",
+                antialias=False,
+            )
+            # zero out beyond the valid resized extent
+            yy = jnp.arange(oh, dtype=jnp.float32)[:, None]
+            xx = jnp.arange(ow, dtype=jnp.float32)[None, :]
+            mask = (yy < newh) & (xx < neww)
+            out = out * mask[..., None]
+            return out, new_hw
+
+        # sub-grid pass (p, q): output rows 2i+p, cols 2j+q of the full
+        # resize. scale_and_translate samples src(o) = (o + 0.5 - t)/s
+        # - 0.5; with s' = s/2 and t' = 0.25 - p/2 this lands exactly on
+        # the full-resolution sample positions (2i + p + 0.5)/s - 0.5.
+        parts = []
+        yy = jnp.arange(oh // 2, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(ow // 2, dtype=jnp.float32)[None, :]
+        for p in (0, 1):
+            for q in (0, 1):
+                sub = jax.image.scale_and_translate(
+                    img,
+                    shape=(oh // 2, ow // 2, 3),
+                    spatial_dims=(0, 1),
+                    scale=jnp.stack([sy / 2.0, sx / 2.0]),
+                    translation=jnp.asarray(
+                        [0.25 - p / 2.0, 0.25 - q / 2.0], jnp.float32
+                    ),
+                    method="linear",
+                    antialias=False,
+                )
+                mask = (2.0 * yy + p < newh) & (2.0 * xx + q < neww)
+                parts.append(sub * mask[..., None])
+        return jnp.concatenate(parts, axis=-1), new_hw
 
     return jax.vmap(per_image)(raw, orig_hw, flip, short)
 

@@ -79,7 +79,8 @@ def make_train_step(model, tx, preprocess=None):
         from ..data.xla_preprocess import device_resize_batch
 
         resized, _ = device_resize_batch(
-            images.image, images.orig_hw, flip, short, max_size, out_hw
+            images.image, images.orig_hw, flip, short, max_size, out_hw,
+            out_s2d=out_hw[0] % 2 == 0 and out_hw[1] % 2 == 0,
         )
         images = images.replace(image=resized)
         return train_step(params, opt_state, images, gt, rng, step)

@@ -75,7 +75,10 @@ def inference_on_dataset(
                 from ..data.xla_preprocess import device_resize_batch
 
                 resized, _ = device_resize_batch(
-                    im.image, im.orig_hw, fl, sh, max_size, target_hw
+                    im.image, im.orig_hw, fl, sh, max_size, target_hw,
+                    out_s2d=(
+                        target_hw[0] % 2 == 0 and target_hw[1] % 2 == 0
+                    ),
                 )
                 return model.apply(v, im.replace(image=resized), train=False)
 
