@@ -154,21 +154,33 @@ def build_detection_train_loader(
                 yield groups.pop(key)
 
     def generate():
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         def load(args):
             epoch, i, plan = args
-            r = np.random.RandomState(
-                (seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
-            )
-            return mapper(dicts[int(i)], r, plan)
+            # rng draws all happened in plan(); decode needs none
+            return mapper(dicts[int(i)], None, plan)
 
+        # keep a few batches' decodes in flight so workers stay busy
+        # across batch boundaries (a single batch is only `local` items)
+        window = 3
         with ThreadPoolExecutor(num_workers) as pool:
-            for batch in global_batches():
+            gb = global_batches()
+            pending = deque()
+
+            def submit_next():
+                batch = next(gb)
                 mine = batch[rank * local : (rank + 1) * local]
-                # chunksize 1: a batch is only `local` items — larger
-                # chunks would leave decode workers idle
-                yield _stack_batch(list(pool.map(load, mine)))
+                pending.append([pool.submit(load, a) for a in mine])
+
+            for _ in range(window):
+                submit_next()
+            while True:
+                futs = pending.popleft()
+                items = [f.result() for f in futs]
+                submit_next()
+                yield _stack_batch(items)
 
     return _Prefetcher(generate) if prefetch else generate()
 

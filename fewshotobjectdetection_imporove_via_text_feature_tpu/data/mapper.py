@@ -149,6 +149,12 @@ class DatasetMapper:
         raw = np.zeros((rbh, rbw, 3), np.uint8)
         raw[:h0, :w0] = arr
         tbh, tbw = pick_bucket(nh, nw, self.buckets)
+        if plan["bucket"] != (rbh, rbw, tbh, tbw):
+            raise ValueError(
+                f"{record['file_name']}: decoded size ({h0}, {w0}) maps to "
+                f"bucket {(rbh, rbw, tbh, tbw)} but the record metadata "
+                f"planned {plan['bucket']} — fix the dataset's height/width"
+            )
 
         g = self.max_gt
         gt_boxes = np.zeros((g, 4), np.float32)
@@ -183,6 +189,15 @@ class DatasetMapper:
         h, w = resize_shortest_edge_size(h0, w0, short, self.max_size)
         flipped = plan["flip"]
         bh, bw = pick_bucket(h, w, self.buckets)
+        if plan["bucket"] != (bh, bw):
+            # batches are grouped by the metadata-derived bucket; a stale
+            # <size> / EXIF-rotated file would otherwise crash np.stack
+            # deep in the loader (detectron2 check_image_size analog)
+            raise ValueError(
+                f"{record['file_name']}: decoded size ({h0}, {w0}) maps to "
+                f"bucket {(bh, bw)} but the record metadata planned "
+                f"{plan['bucket']} — fix the dataset's height/width fields"
+            )
 
         padded = None
         if self.native_io:

@@ -112,8 +112,20 @@ def inference_on_dataset(
     num_images = 0
     inflight = deque()
 
+    def feed(entries):
+        """Feed gathered (ids, det) payloads to the evaluator; every image
+        of the dataset passes through here exactly once on every rank."""
+        nonlocal num_images, steady_images
+        for ids, d in entries:
+            num_images += len(ids)
+            if steady_start is not None:
+                steady_images += len(ids)
+            if evaluator is not None:
+                evaluator.process_detections(
+                    ids, d["boxes"], d["scores"], d["classes"], d["valid"]
+                )
+
     def process(det, meta):
-        nonlocal num_images, steady_images, steady_start
         nvalid = meta.get("valid_count", len(meta["image_ids"]))
         det_np = {
             "boxes": np.array(det.boxes)[:nvalid],
@@ -121,9 +133,6 @@ def inference_on_dataset(
             "classes": np.array(det.classes)[:nvalid],
             "valid": np.array(det.valid)[:nvalid],
         }
-        num_images += nvalid
-        if steady_start is not None:
-            steady_images += nvalid
         if pcb is not None:
             det_np = pcb.execute_calibration(
                 meta["image_ids"][:nvalid], det_np
@@ -137,11 +146,7 @@ def inference_on_dataset(
             )
         else:
             entries = [(meta["image_ids"][:nvalid], det_np)]
-        if evaluator is not None:
-            for ids, d in entries:
-                evaluator.process_detections(
-                    ids, d["boxes"], d["scores"], d["classes"], d["valid"]
-                )
+        feed(entries)
 
     def drain(target_len):
         nonlocal steady_start
@@ -150,12 +155,7 @@ def inference_on_dataset(
             if kind == "skip":
                 from ..parallel.gather import allgather_pyobj
 
-                for ids, d in filter(None, allgather_pyobj(None)):
-                    if evaluator is not None:
-                        evaluator.process_detections(
-                            ids, d["boxes"], d["scores"], d["classes"],
-                            d["valid"],
-                        )
+                feed(filter(None, allgather_pyobj(None)))
             else:
                 process(det, meta)
             if k + 1 == num_warmup:
