@@ -121,6 +121,7 @@ def analyze(trace_dir: str, top: int = 25) -> None:
     by_stage = collections.Counter()
     by_cat = collections.Counter()
     by_op = collections.Counter()
+    program_span = 0
     total = 0
     for ev in trace.get("traceEvents", []):
         args = ev.get("args") or {}
@@ -128,13 +129,25 @@ def analyze(trace_dir: str, top: int = 25) -> None:
         if ps is None:
             continue
         ps = int(ps)
+        tf_op = args.get("tf_op")
+        if tf_op is None and ev.get("name", "").startswith("jit"):
+            # the enclosing whole-program event — the authoritative
+            # device time per run (it is NOT other tenants' work; under
+            # contention it grows to include preemption slices)
+            program_span += ps
+            continue
         total += ps
-        tf_op = args.get("tf_op", "?")
+        if tf_op is None:
+            tf_op = "?"
         # stage = first two scope components, e.g. "rcnn/backbone"
         stage = "/".join(tf_op.split("/")[:3])
         by_stage[stage] += ps
         by_cat[args.get("hlo_category", "?")] += ps
         by_op[tf_op] += ps
+    print(
+        f"program span: {program_span/1e12*1e3:.2f} ms device "
+        f"(op-attributed total below excludes it)"
+    )
 
     def show(title, counter, n):
         print(f"\n== {title} (total {total/1e12*1e3:.2f} ms device) ==")
