@@ -25,7 +25,7 @@ import numpy as np
 # model changes materially.
 CPU_BASELINE_IPS = 1.0 / 515.5
 
-BATCH = 8
+BATCH = 32  # throughput-optimal (sweep 2026-08-17: 8/16/32 -> 108/113/120 img/s)
 H, W = 800, 1344
 
 
@@ -122,9 +122,9 @@ def main(cpu_baseline: bool = False):
         # near-quiet window shows up (a step within ~1.6x of this program's
         # ~50 ms device floor) or the time budget runs out, then report the
         # global min
-        rounds, iters, gap = 40, 6, 10.0
+        rounds, iters, gap = 40, 4, 10.0
         budget = 420.0
-        quiet_cutoff = 0.080
+        quiet_cutoff = 0.010 * batch  # ~1.3x the per-image device floor
     # Steady-state protocol: dispatch `iters` executions with DISTINCT
     # inputs back to back, then read a few bytes from EVERY output.
     # - distinct inputs: an already-seen (program, args) pair can be served
