@@ -224,9 +224,27 @@ class Trainer:
         cfg = self.cfg
         rng = self.rng
         it = self.start_iter
-        data_iter = iter(self.loader)
         t_last = time.time()
         params = self.params
+
+        # Upload batches to the device from a prefetch thread so
+        # host->device transfer overlaps the in-flight steps (the step
+        # loop only syncs on losses every 20 iterations). Behind the dev
+        # relay a batch upload can take longer than the step itself;
+        # on any host this also hides normal NIC/PCIe latency.
+        from ..data.loader import _Prefetcher
+
+        def uploaded():
+            for images, gt, meta in self.loader:
+                images_d, gt_d = shard_batch(self.mesh, (images, gt))
+                extras = None
+                if cfg.TPU.DEVICE_PREPROCESS:
+                    extras = shard_batch(
+                        self.mesh, (meta["short"], meta["flip"])
+                    )
+                yield images_d, gt_d, meta, extras
+
+        data_iter = iter(_Prefetcher(uploaded, maxsize=2))
 
         if cfg.TPU.DEBUG_NANS:
             jax.config.update("jax_debug_nans", True)
@@ -238,8 +256,7 @@ class Trainer:
                 jax.profiler.start_trace(
                     os.path.join(cfg.OUTPUT_DIR, "profile")
                 )
-            images, gt, meta = next(data_iter)
-            images_d, gt_d = shard_batch(self.mesh, (images, gt))
+            images_d, gt_d, meta, extras = next(data_iter)
 
             if cfg.TPU.DEVICE_PREPROCESS:
                 key = tuple(meta["target_hw"])
@@ -253,9 +270,7 @@ class Trainer:
                         donate_argnums=(0, 1),
                     )
                     self._raw_steps[key] = fn
-                short_d, flip_d = shard_batch(
-                    self.mesh, (meta["short"], meta["flip"])
-                )
+                short_d, flip_d = extras
                 params, self.opt_state, losses = fn(
                     params, self.opt_state, images_d, gt_d, rng, it,
                     short_d, flip_d,

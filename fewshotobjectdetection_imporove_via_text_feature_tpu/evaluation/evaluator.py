@@ -164,27 +164,42 @@ def inference_on_dataset(
                 # warmup in the s/img accounting, evaluator.py:114-140)
                 steady_start = time.perf_counter()
 
+    # Upload batches from a prefetch thread: host->device transfer of the
+    # next batch overlaps the in-flight executions (behind the dev relay
+    # an upload can take longer than the step itself). Foreign ranks'
+    # batches are never uploaded, only marked for the lockstep gather.
+    from ..data.loader import _Prefetcher
+
+    def uploaded():
+        for i, (images, gt, meta) in enumerate(data_loader):
+            if pcount > 1 and i % pcount != pindex:
+                yield "skip", None, None, i
+                continue
+            if "short" in meta:
+                images, short, flip = maybe_shard(
+                    images,
+                    (np.asarray(meta["short"]), np.asarray(meta["flip"])),
+                )
+                yield "raw", images, (short, flip), meta
+            else:
+                (images,) = maybe_shard(images)
+                yield "plain", images, None, meta
+
     idx = 0
-    for images, gt, meta in data_loader:
-        if pcount > 1 and idx % pcount != pindex:
-            # other ranks own this batch; enqueue an empty slot so the
-            # per-batch gather stays in lockstep, in order
+    for kind, images, extras, meta in _Prefetcher(uploaded, maxsize=2):
+        if kind == "skip":
             inflight.append(("skip", None, None, idx))
             drain(depth)
             idx += 1
             continue
-        if "short" in meta:
-            images, short, flip = maybe_shard(
-                images,
-                (np.asarray(meta["short"]), np.asarray(meta["flip"])),
-            )
+        if kind == "raw":
+            short, flip = extras
             det = apply_raw(
                 {"params": params}, images, short, flip,
                 tuple(meta["target_hw"]),
                 int(meta["max_size"]),
             )
         else:
-            (images,) = maybe_shard(images)
             det = apply_fn({"params": params}, images)
         inflight.append(("det", det, meta, idx))
         drain(depth)
