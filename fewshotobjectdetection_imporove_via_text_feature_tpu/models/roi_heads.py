@@ -155,8 +155,11 @@ class Res5ROIHeads(nn.Module):
                 b * bx.shape[1], *pooled.shape[2:]
             ).astype(self.dtype)
             x = self.res5(pooled)  # (B*c, 4, 4, 2048)
+            # dtype=f32: accumulate the spatial mean in f32 WITHOUT
+            # materializing an f32 copy of x first (x.astype(f32) wrote a
+            # 524 MB intermediate at batch 8 inference, ~1 ms/step)
             outs.append(
-                jnp.mean(x.astype(jnp.float32), axis=(1, 2)).reshape(
+                jnp.mean(x, axis=(1, 2), dtype=jnp.float32).reshape(
                     b, bx.shape[1], -1
                 )
             )
