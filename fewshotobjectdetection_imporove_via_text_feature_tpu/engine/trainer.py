@@ -147,8 +147,11 @@ class Trainer:
             rank=jax.process_index(),
             world_size=pcount,
         )
-        images, gt, _ = next(iter(self.loader))
-        self._peek = (images, gt)
+        # peek the first batch for shape-driven init, then REPLAY it as
+        # training step 0 (the reference trains on every sampled batch)
+        peeked = next(iter(self.loader))
+        self._peeked_batches = [peeked]
+        images, gt = peeked[0], peeked[1]
 
         init_rngs = {
             "params": jax.random.PRNGKey(self.seed),
@@ -234,8 +237,13 @@ class Trainer:
         # on any host this also hides normal NIC/PCIe latency.
         from ..data.loader import _Prefetcher
 
+        def batches():
+            while self._peeked_batches:
+                yield self._peeked_batches.pop(0)
+            yield from self.loader
+
         def uploaded():
-            for images, gt, meta in self.loader:
+            for images, gt, meta in batches():
                 images_d, gt_d = shard_batch(self.mesh, (images, gt))
                 extras = None
                 if cfg.TPU.DEVICE_PREPROCESS:
