@@ -138,10 +138,11 @@ def do_test(cfg, params=None, model=None):
     # comm.gather parity, ref dataloader/build.py:385).
     mesh = None
     ndev = len(jax.local_devices())
-    # batch 8 is the throughput-tuned inference batch (bench.py); trailing
-    # partial batches pad with flagged copies, so larger batches only cost
-    # a few wasted pad slots on the last batch of a dataset
-    batch_size = 8
+    # batch 32 is the throughput-tuned inference batch (bench.py sweep:
+    # 8/16/32 -> 108/113/120 img/s); trailing partial batches pad with
+    # flagged copies, so larger batches only cost a few wasted pad slots
+    # on the last batch of each bucket group
+    batch_size = 32
     if ndev > 1:
         from fewshotobjectdetection_imporove_via_text_feature_tpu.parallel.mesh import (
             get_mesh,
