@@ -94,13 +94,24 @@ class PrototypicalCalibrationBlock:
         return params
 
     def _extract_fn(self, shape):
+        """Batched extractor keyed by (bh, bw, G, max_n): images arrive
+        uint8 (4x cheaper transfer; normalization runs on device) and the
+        whole group goes through the PCB ResNet as ONE batch — the
+        reference runs a batch-1 forward per image
+        (calibration_layer.py:96-103), which leaves the MXU ~idle."""
         if shape not in self._extract:
 
-            def fn(params, image, boxes):
-                _, feat = self.model.apply({"params": params}, image[None])
-                pooled = roi_align_auto(
-                    feat[0].astype(jnp.float32), boxes, 1, 1.0 / 32.0, 2
-                )[:, 0, 0, :]
+            def fn(params, images, boxes):
+                x = images.astype(jnp.float32) / 255.0
+                x = (x - _MEAN) / _STD
+                _, feat = self.model.apply({"params": params}, x)
+
+                def pool(f, bx):
+                    return roi_align_auto(
+                        f.astype(jnp.float32), bx, 1, 1.0 / 32.0, 2
+                    )[:, 0, 0, :]
+
+                pooled = jax.vmap(pool)(feat, boxes)  # (G, N, 2048)
                 # fc applied to the ROI-pooled res5 features
                 # (ref calibration_layer.py:100-103)
                 w = params["fc"]["kernel"]
@@ -110,35 +121,70 @@ class PrototypicalCalibrationBlock:
             self._extract[shape] = jax.jit(fn)
         return self._extract[shape]
 
-    def _roi_features(self, file_name, boxes: np.ndarray):
-        """boxes in ORIGINAL image coords; returns (N, 1000) activations."""
-        img = np.asarray(Image.open(file_name).convert("RGB"), np.float32)
+    @staticmethod
+    def _load_padded(file_name):
+        img = np.asarray(Image.open(file_name).convert("RGB"), np.uint8)
         h, w = img.shape[:2]
         bh, bw = _bucket(h, w)
-        padded = np.zeros((bh, bw, 3), np.float32)
-        padded[:h, :w] = (img / 255.0 - _MEAN) / _STD
+        padded = np.zeros((bh, bw, 3), np.uint8)
+        padded[:h, :w] = img
+        return padded
 
-        n = len(boxes)
-        max_n = int(np.ceil(max(n, 1) / 16.0) * 16)
-        pboxes = np.zeros((max_n, 4), np.float32)
-        pboxes[:n] = boxes
-        fn = self._extract_fn((bh, bw, max_n))
-        out = np.asarray(fn(self.params, jnp.asarray(padded), jnp.asarray(pboxes)))
-        return out[:n]
+    def _roi_features_batch(self, files, boxes_list):
+        """files: [str]*K; boxes_list: [(n_i, 4) ORIGINAL coords]*K.
+        Returns [(n_i, 1000)]*K. Images group by padded bucket; each group
+        pads to a power-of-2 batch and a shared ROI slot count so the jit
+        cache stays small."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(8, max(1, len(files)))) as pool:
+            padded = list(pool.map(self._load_padded, files))
+
+        out = [None] * len(files)
+        groups: Dict = {}
+        for i, p in enumerate(padded):
+            groups.setdefault(p.shape[:2], []).append(i)
+        for (bh, bw), idxs in groups.items():
+            g2 = 1 << (len(idxs) - 1).bit_length()  # next power of 2
+            max_n = max(len(boxes_list[i]) for i in idxs)
+            max_n = int(np.ceil(max(max_n, 1) / 16.0) * 16)
+            imgs = np.zeros((g2, bh, bw, 3), np.uint8)
+            pboxes = np.zeros((g2, max_n, 4), np.float32)
+            for j, i in enumerate(idxs):
+                imgs[j] = padded[i]
+                pboxes[j, : len(boxes_list[i])] = boxes_list[i]
+            fn = self._extract_fn((bh, bw, g2, max_n))
+            feats = np.asarray(
+                fn(self.params, jnp.asarray(imgs), jnp.asarray(pboxes))
+            )
+            for j, i in enumerate(idxs):
+                out[i] = feats[j, : len(boxes_list[i])]
+        return out
+
+    def _roi_features(self, file_name, boxes: np.ndarray):
+        """boxes in ORIGINAL image coords; returns (N, 1000) activations."""
+        return self._roi_features_batch([file_name], [boxes])[0]
 
     # ------------------------------------------------------------------
     def build_prototypes(self):
         name = self.cfg.DATASETS.TRAIN[0]
         dicts = get_detection_dataset_dicts([name], filter_empty=True)
-        feats, labels = [], []
+        files, boxes_list, labels = [], [], []
         for rec in dicts:
             annos = rec["annotations"]
             boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
             if not len(boxes):
                 continue
-            f = self._roi_features(rec["file_name"], boxes)
-            feats.append(f)
+            files.append(rec["file_name"])
+            boxes_list.append(boxes)
             labels.extend(int(a["category_id"]) for a in annos)
+        feats = []
+        for start in range(0, len(files), 16):
+            feats.extend(
+                self._roi_features_batch(
+                    files[start : start + 16], boxes_list[start : start + 16]
+                )
+            )
         feats = np.concatenate(feats, axis=0)
         labels = np.asarray(labels)
         protos = {}
@@ -162,16 +208,7 @@ class PrototypicalCalibrationBlock:
         return []
 
     # ------------------------------------------------------------------
-    def calibrate_image(self, image_id, boxes, scores, classes, valid):
-        """Adjust one image's detection scores in place (numpy)."""
-        file_name = self._files.get(image_id)
-        if file_name is None:
-            return scores
-        sel = valid & (scores > self.lower) & (scores <= self.upper)
-        idx = np.nonzero(sel)[0]
-        if len(idx) == 0:
-            return scores
-        feats = self._roi_features(file_name, boxes[idx])
+    def _apply_cos(self, feats, idx, classes, scores):
         for j, i in enumerate(idx):
             c = int(classes[i])
             if c in self.exclude_cls or c not in self.prototypes:
@@ -185,15 +222,47 @@ class PrototypicalCalibrationBlock:
             scores[i] = scores[i] * self.alpha + cos * (1 - self.alpha)
         return scores
 
+    def calibrate_image(self, image_id, boxes, scores, classes, valid):
+        """Adjust one image's detection scores in place (numpy)."""
+        file_name = self._files.get(image_id)
+        if file_name is None:
+            return scores
+        sel = valid & (scores > self.lower) & (scores <= self.upper)
+        idx = np.nonzero(sel)[0]
+        if len(idx) == 0:
+            return scores
+        feats = self._roi_features(file_name, boxes[idx])
+        return self._apply_cos(feats, idx, classes, scores)
+
     def execute_calibration(self, image_ids, det_np):
         """det_np: dict with boxes/scores/classes/valid (B, D, ...) numpy in
-        ORIGINAL image coordinates. Returns the dict with adjusted scores."""
+        ORIGINAL image coordinates. Returns the dict with adjusted scores.
+
+        All of the batch's images go through the PCB net together
+        (_roi_features_batch) — one batched forward instead of B batch-1
+        forwards."""
+        files, boxes_list, work = [], [], []
         for i, image_id in enumerate(image_ids):
-            det_np["scores"][i] = self.calibrate_image(
-                image_id,
-                det_np["boxes"][i],
-                det_np["scores"][i],
-                det_np["classes"][i],
-                det_np["valid"][i],
+            file_name = self._files.get(image_id)
+            if file_name is None:
+                continue
+            scores = det_np["scores"][i]
+            sel = (
+                det_np["valid"][i]
+                & (scores > self.lower)
+                & (scores <= self.upper)
+            )
+            idx = np.nonzero(sel)[0]
+            if len(idx) == 0:
+                continue
+            files.append(file_name)
+            boxes_list.append(det_np["boxes"][i][idx])
+            work.append((i, idx))
+        if not files:
+            return det_np
+        feats_list = self._roi_features_batch(files, boxes_list)
+        for feats, (i, idx) in zip(feats_list, work):
+            det_np["scores"][i] = self._apply_cos(
+                feats, idx, det_np["classes"][i], det_np["scores"][i]
             )
         return det_np
