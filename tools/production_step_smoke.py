@@ -44,7 +44,7 @@ FAMILIES = {
 }
 
 
-def main(family: str, batch: int = 8) -> None:
+def main(family: str, batch: int = 8, eval_mode: bool = False) -> None:
     import jax
 
     import bench
@@ -120,6 +120,26 @@ def main(family: str, batch: int = 8) -> None:
         gt,
     )
     params = variables["params"]
+
+    if eval_mode:
+        # inference path (text heads run the student-only branch — the
+        # reference's inference branch crashes, PARITY.md deviation 3)
+        apply_fn = jax.jit(
+            lambda v, i: model.apply({"params": v}, i, train=False)
+        )
+        det = jax.device_get(apply_fn(params, images))
+        nval = int(np.asarray(det.valid).sum())
+        assert np.isfinite(np.asarray(det.scores)[np.asarray(det.valid)]).all()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            det = apply_fn(params, images)
+            np.asarray(det.scores)
+        dt = (time.perf_counter() - t0) / 3
+        print(
+            f"{family} (eval): {dt*1e3:.1f} ms/step batch {batch}, "
+            f"{nval} valid detections, scores finite"
+        )
+        return
     tx, _ = build_optimizer(cfg, params)
     opt_state = tx.init(params)
     step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
@@ -144,5 +164,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="flagship", choices=sorted(FAMILIES))
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--eval", action="store_true")
     args = ap.parse_args()
-    main(args.family, args.batch)
+    main(args.family, args.batch, args.eval)
