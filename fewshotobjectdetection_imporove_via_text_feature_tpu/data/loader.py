@@ -23,6 +23,7 @@ __all__ = [
     "get_detection_dataset_dicts",
     "build_detection_train_loader",
     "build_detection_test_loader",
+    "Prefetcher",
 ]
 
 
@@ -62,8 +63,10 @@ def _stack_batch(items: List[Dict]):
     return images, gt, meta
 
 
-class _Prefetcher:
-    """Runs an iterator in a daemon thread with a small queue."""
+class Prefetcher:
+    """Runs an iterator in a daemon thread with a small queue. Also used
+    by the train/eval loops to overlap host->device uploads with
+    execution."""
 
     def __init__(self, gen_fn, maxsize=4):
         self._q = queue.Queue(maxsize=maxsize)
@@ -182,7 +185,7 @@ def build_detection_train_loader(
                 submit_next()
                 yield _stack_batch(items)
 
-    return _Prefetcher(generate) if prefetch else generate()
+    return Prefetcher(generate) if prefetch else generate()
 
 
 def build_detection_test_loader(
@@ -225,4 +228,4 @@ def build_detection_test_loader(
                 items.append(pad)
             yield _stack_batch(items)
 
-    return _Prefetcher(generate) if prefetch else generate()
+    return Prefetcher(generate) if prefetch else generate()

@@ -235,7 +235,7 @@ class Trainer:
         # loop only syncs on losses every 20 iterations). Behind the dev
         # relay a batch upload can take longer than the step itself;
         # on any host this also hides normal NIC/PCIe latency.
-        from ..data.loader import _Prefetcher
+        from ..data.loader import Prefetcher
 
         def batches():
             while self._peeked_batches:
@@ -252,7 +252,7 @@ class Trainer:
                     )
                 yield images_d, gt_d, meta, extras
 
-        data_iter = iter(_Prefetcher(uploaded, maxsize=2))
+        data_iter = iter(Prefetcher(uploaded, maxsize=2))
 
         if cfg.TPU.DEBUG_NANS:
             jax.config.update("jax_debug_nans", True)

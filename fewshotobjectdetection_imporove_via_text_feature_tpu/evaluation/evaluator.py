@@ -168,12 +168,12 @@ def inference_on_dataset(
     # next batch overlaps the in-flight executions (behind the dev relay
     # an upload can take longer than the step itself). Foreign ranks'
     # batches are never uploaded, only marked for the lockstep gather.
-    from ..data.loader import _Prefetcher
+    from ..data.loader import Prefetcher
 
     def uploaded():
         for i, (images, gt, meta) in enumerate(data_loader):
             if pcount > 1 and i % pcount != pindex:
-                yield "skip", None, None, i
+                yield "skip", None, None, None
                 continue
             if "short" in meta:
                 images, short, flip = maybe_shard(
@@ -186,7 +186,7 @@ def inference_on_dataset(
                 yield "plain", images, None, meta
 
     idx = 0
-    for kind, images, extras, meta in _Prefetcher(uploaded, maxsize=2):
+    for kind, images, extras, meta in Prefetcher(uploaded, maxsize=2):
         if kind == "skip":
             inflight.append(("skip", None, None, idx))
             drain(depth)

@@ -53,6 +53,7 @@ class PrototypicalCalibrationBlock:
         self.model = TorchvisionResNet(depth=101)
         self.params = self._load_params(cfg.TEST.PCB_MODELPATH)
         self._extract = {}
+        self._io_pool = None  # lazy image-decode thread pool
 
         self.prototypes = self.build_prototypes()
         self.exclude_cls = self.clsid_filter()
@@ -135,10 +136,11 @@ class PrototypicalCalibrationBlock:
         Returns [(n_i, 1000)]*K. Images group by padded bucket; each group
         pads to a power-of-2 batch and a shared ROI slot count so the jit
         cache stays small."""
-        from concurrent.futures import ThreadPoolExecutor
+        if self._io_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(min(8, max(1, len(files)))) as pool:
-            padded = list(pool.map(self._load_padded, files))
+            self._io_pool = ThreadPoolExecutor(8)
+        padded = list(self._io_pool.map(self._load_padded, files))
 
         out = [None] * len(files)
         groups: Dict = {}
@@ -223,16 +225,18 @@ class PrototypicalCalibrationBlock:
         return scores
 
     def calibrate_image(self, image_id, boxes, scores, classes, valid):
-        """Adjust one image's detection scores in place (numpy)."""
-        file_name = self._files.get(image_id)
-        if file_name is None:
-            return scores
-        sel = valid & (scores > self.lower) & (scores <= self.upper)
-        idx = np.nonzero(sel)[0]
-        if len(idx) == 0:
-            return scores
-        feats = self._roi_features(file_name, boxes[idx])
-        return self._apply_cos(feats, idx, classes, scores)
+        """Adjust one image's detection scores in place (numpy) —
+        single-image wrapper around execute_calibration."""
+        det = self.execute_calibration(
+            [image_id],
+            {
+                "boxes": boxes[None],
+                "scores": scores[None],
+                "classes": classes[None],
+                "valid": valid[None],
+            },
+        )
+        return det["scores"][0]
 
     def execute_calibration(self, image_ids, det_np):
         """det_np: dict with boxes/scores/classes/valid (B, D, ...) numpy in
