@@ -51,10 +51,16 @@ class DefaultPredictor:
 
         img = Image.fromarray(original_image[:, :, ::-1].astype(np.uint8))
         img = img.resize((w, h), Image.BILINEAR)
-        arr = np.asarray(img, np.float32)[:, :, ::-1]
+        arr = np.asarray(img, np.uint8)[:, :, ::-1]
         bh, bw = pick_bucket(h, w, cfg.TPU.IMAGE_BUCKETS)
-        padded = np.zeros((bh, bw, 3), np.float32)
+        padded = np.zeros((bh, bw, 3), np.uint8)
         padded[:h, :w] = arr
+        if bh % 2 == 0 and bw % 2 == 0:
+            # ship the stem's space-to-depth layout like the data loader
+            # (uint8 + pre-shuffled: no on-device relayout)
+            from ..models.backbone import space_to_depth
+
+            padded = space_to_depth(padded)
 
         batch = ImageBatch(
             image=padded[None],
