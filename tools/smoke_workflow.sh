@@ -17,6 +17,7 @@ MODEL.BACKBONE.FREEZE_AT 0
 MODEL.RPN.PRE_NMS_TOPK_TRAIN 256 MODEL.RPN.POST_NMS_TOPK_TRAIN 64
 MODEL.RPN.PRE_NMS_TOPK_TEST 256 MODEL.RPN.POST_NMS_TOPK_TEST 64
 MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE 16
+MODEL.ROI_HEADS.SCORE_THRESH_TEST 0.0
 TPU.IMAGE_BUCKETS ((256,384),) TPU.MAX_GT 10 TPU.MAX_DETECTIONS_PRE_NMS 128
 TPU.COMPUTE_DTYPE float32
 INPUT.MIN_SIZE_TRAIN (256,) INPUT.MAX_SIZE_TRAIN 384
