@@ -102,9 +102,18 @@ class PrototypicalCalibrationBlock:
         (calibration_layer.py:96-103), which leaves the MXU ~idle."""
         if shape not in self._extract:
 
-            def fn(params, images, boxes):
+            def fn(params, images, boxes, hw):
                 x = images.astype(jnp.float32) / 255.0
                 x = (x - _MEAN) / _STD
+                # Zero the pad region AFTER normalization: uint8 zero-pad
+                # would otherwise become "normalized black" (~-2.1/-2.0/-1.8
+                # per channel), drifting border features from the reference's
+                # unpadded single-image forward (calibration_layer.py:96-103),
+                # whose conv padding is zero in normalized space.
+                bh, bw = images.shape[1:3]
+                row_ok = jnp.arange(bh)[None, :, None] < hw[:, 0][:, None, None]
+                col_ok = jnp.arange(bw)[None, None, :] < hw[:, 1][:, None, None]
+                x = x * (row_ok & col_ok)[..., None]
                 _, feat = self.model.apply({"params": params}, x)
 
                 def pool(f, bx):
@@ -129,7 +138,7 @@ class PrototypicalCalibrationBlock:
         bh, bw = _bucket(h, w)
         padded = np.zeros((bh, bw, 3), np.uint8)
         padded[:h, :w] = img
-        return padded
+        return padded, (h, w)
 
     def _roi_features_batch(self, files, boxes_list):
         """files: [str]*K; boxes_list: [(n_i, 4) ORIGINAL coords]*K.
@@ -140,7 +149,9 @@ class PrototypicalCalibrationBlock:
             from concurrent.futures import ThreadPoolExecutor
 
             self._io_pool = ThreadPoolExecutor(8)
-        padded = list(self._io_pool.map(self._load_padded, files))
+        loaded = list(self._io_pool.map(self._load_padded, files))
+        padded = [p for p, _ in loaded]
+        valid_hw = [hw for _, hw in loaded]
 
         out = [None] * len(files)
         groups: Dict = {}
@@ -152,12 +163,19 @@ class PrototypicalCalibrationBlock:
             max_n = int(np.ceil(max(max_n, 1) / 16.0) * 16)
             imgs = np.zeros((g2, bh, bw, 3), np.uint8)
             pboxes = np.zeros((g2, max_n, 4), np.float32)
+            hws = np.zeros((g2, 2), np.int32)
             for j, i in enumerate(idxs):
                 imgs[j] = padded[i]
                 pboxes[j, : len(boxes_list[i])] = boxes_list[i]
+                hws[j] = valid_hw[i]
             fn = self._extract_fn((bh, bw, g2, max_n))
             feats = np.asarray(
-                fn(self.params, jnp.asarray(imgs), jnp.asarray(pboxes))
+                fn(
+                    self.params,
+                    jnp.asarray(imgs),
+                    jnp.asarray(pboxes),
+                    jnp.asarray(hws),
+                )
             )
             for j, i in enumerate(idxs):
                 out[i] = feats[j, : len(boxes_list[i])]

@@ -55,6 +55,7 @@ class StandardROIHeads(nn.Module):
     cls_agnostic_bbox_reg: bool = False
     cls_dropout: bool = False
     dropout_ratio: float = 0.8
+    roi_chunk: int = 256  # bound HBM for the interp intermediates (ADVICE r1)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -87,7 +88,7 @@ class StandardROIHeads(nn.Module):
         pooled = jax.vmap(
             lambda f, bb: roi_align_auto(
                 f, bb, self.pooler_resolution, self.pooler_scale,
-                self.sampling_ratio,
+                self.sampling_ratio, roi_chunk=self.roi_chunk,
             )
         )(features, boxes)
         pooled = pooled.reshape(b * s, *pooled.shape[2:]).astype(self.dtype)

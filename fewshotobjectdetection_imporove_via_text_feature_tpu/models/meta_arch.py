@@ -156,6 +156,7 @@ class GeneralizedRCNN(nn.Module):
                 cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
                 cls_dropout=self.cls_dropout,
                 dropout_ratio=self.dropout_ratio,
+                roi_chunk=self.roi_chunk,
                 dtype=self.dtype,
             )
 

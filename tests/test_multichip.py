@@ -16,6 +16,36 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_driver_path():
+    """Run dryrun_multichip(8) exactly the way the driver does: a fresh
+    subprocess with NO pytest conftest and NO XLA_FLAGS device-count hint,
+    so sitecustomize registers the axon plugin first and the function must
+    configure the 8-device CPU fallback itself BEFORE any device probe
+    (round-1 MULTICHIP failure mode; VERDICT.md Weak #1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # Strip every hint the test harness adds; keep sitecustomize's
+    # PYTHONPATH so the TPU plugin registration race is reproduced.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"driver-path dryrun failed\nstdout:{proc.stdout}\nstderr:{proc.stderr}"
+    )
+    assert "dryrun_multichip(8) ok" in proc.stdout
+
+
 def test_dp_grads_match_single_device():
     """The mesh-sharded train step must produce the same loss as the
     unsharded one (same data, same rng)."""

@@ -61,6 +61,31 @@ def test_batched_features_match_single(pcb):
         assert got.shape == (len(b), 1000)
 
 
+def test_pad_region_does_not_affect_features(pcb):
+    """The jitted extractor must zero the pad region in NORMALIZED space:
+    ROI features may not depend on what bytes sit beyond each image's valid
+    (h, w). Pre-fix, uint8 zero-pad became 'normalized black' (~-2 per
+    channel) and leaked into border features (ADVICE r1, medium)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    bh, bw = 128, 128
+    h, w = 100, 90
+    img = np.zeros((1, bh, bw, 3), np.uint8)
+    img[0, :h, :w] = rng.randint(0, 255, (h, w, 3), np.uint8)
+    junk = img.copy()
+    junk[0, h:, :] = 255
+    junk[0, :, w:] = 137
+    boxes = np.array([[[60.0, 50.0, 89.0, 99.0]]], np.float32)  # touches edge
+    hw = np.array([[h, w]], np.int32)
+    fn = pcb._extract_fn((bh, bw, 1, 1))
+    a = np.asarray(fn(pcb.params, jnp.asarray(img), jnp.asarray(boxes),
+                      jnp.asarray(hw)))
+    b = np.asarray(fn(pcb.params, jnp.asarray(junk), jnp.asarray(boxes),
+                      jnp.asarray(hw)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_execute_calibration_matches_per_image(pcb):
     ids = list(pcb._files.keys())[:2]
     rng = np.random.RandomState(1)
