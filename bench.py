@@ -1,14 +1,18 @@
-"""Benchmark: flagship DeFRCN-style R-101 C4 inference throughput on TPU.
+"""Benchmark: flagship DeFRCN-style R-101 C4 throughput + MFU on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+"inference_imgs_per_sec", "train_imgs_per_sec", and "mfu" (model FLOP
+utilization, computed from the compiled programs' cost_analysis() FLOPs
+over measured step time — not guessed).
 
 Protocol mirrors the reference's measurement convention (s/img with warmup
 skipped, defrcn/evaluation/evaluator.py:114-140) at the reference's test
-resolution (shortest edge 800, max 1333 -> padded 800x1344). The baseline
-divisor is the driver north star's batch-1 CPU reference point
-(BASELINE.md: ">=5x images/sec/chip vs batch-1 CPU baseline on v5e"),
-measured once with this same model on the host CPU (see CPU_BASELINE_IPS
-provenance note).
+resolution (shortest edge 800, max 1333 -> padded 800x1344); the train
+step uses the reference's production batch 16 (configs/Base-RCNN.yaml).
+The baseline divisor is the driver north star's batch-1 CPU reference
+point (BASELINE.md: ">=5x images/sec/chip vs batch-1 CPU baseline on
+v5e"), measured once with this same model on the host CPU (see
+CPU_BASELINE_IPS provenance note).
 """
 
 from __future__ import annotations
@@ -26,7 +30,41 @@ import numpy as np
 CPU_BASELINE_IPS = 1.0 / 515.5
 
 BATCH = 32  # throughput-optimal (sweep 2026-08-17: 8/16/32 -> 108/113/120 img/s)
+TRAIN_BATCH = 16  # the reference's production batch (configs/Base-RCNN.yaml:13)
 H, W = 800, 1344
+
+# bf16 peak matmul throughput per chip, by device kind. The axon tunnel
+# exposes a v5e (v5 lite) chip; fall back to its 197 TFLOP/s if the kind
+# string is unrecognized.
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5litepod": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def _program_flops(lowered_compiled):
+    """FLOPs of a compiled program from XLA's cost analysis (0 if the
+    backend doesn't report one)."""
+    try:
+        cost = lowered_compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def make_inputs(batch, host_s2d=True, seed=0):
@@ -62,6 +100,108 @@ def build():
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
     model = build_model(cfg)
     return model
+
+
+def make_gt(batch, g=16, seed=1):
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        GTInstances,
+    )
+
+    rng = np.random.RandomState(seed)
+    boxes = rng.uniform(10, 380, (batch, g, 4)).astype(np.float32)
+    boxes[..., 2:] += boxes[..., :2]
+    return GTInstances(
+        boxes=boxes,
+        classes=rng.randint(0, 20, (batch, g)).astype(np.int32),
+        valid=np.ones((batch, g), bool),
+    )
+
+
+def bench_train(model):
+    """Train-step throughput (fwd+bwd+SGD, batch 16) + program FLOPs.
+
+    Protocol (NOTES.md relay traps): chain N donated steps whose param
+    dependencies force sequential execution, distinct pre-placed inputs
+    every iteration, read the final loss back; MIN over gapped rounds.
+    Returns (imgs_per_sec, flops_per_step)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine.trainer import (
+        make_train_step,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.solver import (
+        build_optimizer,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        ImageBatch,
+    )
+
+    batch = TRAIN_BATCH
+    images = make_inputs(batch, seed=5)
+    gt = make_gt(batch)
+    init_rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = jax.jit(lambda r, i, g: model.init(r, i, g, train=True))(
+        init_rngs, images, gt
+    )
+    params = variables["params"]
+    cfg = get_cfg()
+    tx, _ = build_optimizer(cfg, params)
+    opt_state = jax.jit(tx.init)(params)
+
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
+    flops = _program_flops(
+        step.lower(params, opt_state, images, gt, jax.random.PRNGKey(7), 0)
+        .compile()
+    )
+    rng_key = jax.random.PRNGKey(7)
+    # warmup (compile + first execution)
+    params, opt_state, losses = step(params, opt_state, images, gt, rng_key, 0)
+    np.asarray(losses["total_loss"])
+
+    nonce = np.frombuffer(__import__("os").urandom(4), np.uint8)
+
+    def fresh(k):
+        imgs = np.array(images.image)
+        imgs[0, 0, 0, :2] = (k // 256, k % 256)
+        imgs[0, 0, 1, :4] = nonce
+        return ImageBatch(image=imgs, hw=images.hw, orig_hw=images.orig_hw)
+
+    rounds, iters, gap = 20, 3, 8.0
+    budget, hard_budget = 240.0, 480.0
+    quiet_cutoff = 0.018 * batch  # ~1.1x the measured ~270 ms device floor
+    dt = float("inf")
+    k = 0
+    quiet_seen = 0
+    start = time.perf_counter()
+    gt_d = jax.device_put(gt)
+    for r in range(rounds):
+        if r:
+            quiet_seen += dt <= quiet_cutoff
+            elapsed = time.perf_counter() - start
+            if quiet_seen >= 2:
+                break
+            if elapsed > budget and (
+                dt <= 3 * quiet_cutoff or elapsed > hard_budget
+            ):
+                break
+            time.sleep(gap)
+        ims = [jax.device_put(fresh(k + i)) for i in range(iters)]
+        for im in ims:
+            jax.block_until_ready(im.image)
+        k += iters
+        t0 = time.perf_counter()
+        for i, im in enumerate(ims):
+            params, opt_state, losses = step(
+                params, opt_state, im, gt_d, rng_key, k + i
+            )
+        np.asarray(losses["total_loss"])  # forces the whole chain
+        dt = min(dt, (time.perf_counter() - t0) / len(ims))
+    return batch / dt, flops
 
 
 def main(cpu_baseline: bool = False):
@@ -183,16 +323,50 @@ def main(cpu_baseline: bool = False):
         print(f"CPU baseline: {ips:.4f} images/sec (batch 1)")
         return
 
-    print(
-        json.dumps(
-            {
-                "metric": "r101_c4_inference_throughput_800x1344",
-                "value": round(ips, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
-            }
-        )
+    peak = _peak_flops()
+    inf_flops = _program_flops(
+        jax.jit(lambda v, i: model.apply(v, i, train=False))
+        .lower(variables, images)
+        .compile()
     )
+    inf_mfu = (inf_flops / batch) * ips / peak if inf_flops else None
+
+    train_ips = train_mfu = train_flops = None
+    try:
+        train_ips, train_flops = bench_train(model)
+        if train_flops:
+            train_mfu = (train_flops / TRAIN_BATCH) * train_ips / peak
+    except Exception as e:  # never lose the inference line to a train fault
+        import traceback
+
+        traceback.print_exc()
+        print(f"train bench failed: {e}", flush=True)
+
+    rec = {
+        "metric": "r101_c4_inference_throughput_800x1344",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
+        "inference_imgs_per_sec": round(ips, 3),
+        "train_imgs_per_sec": (
+            round(train_ips, 3) if train_ips is not None else None
+        ),
+        # headline MFU = the inference program (the metric's program);
+        # train MFU reported alongside. FLOPs come from XLA cost_analysis
+        # of the exact compiled programs, peak from the device kind table.
+        "mfu": round(inf_mfu, 4) if inf_mfu is not None else None,
+        "train_mfu": (
+            round(train_mfu, 4) if train_mfu is not None else None
+        ),
+        "inference_flops_per_image": (
+            round(inf_flops / batch) if inf_flops else None
+        ),
+        "train_flops_per_image": (
+            round(train_flops / TRAIN_BATCH) if train_flops else None
+        ),
+        "peak_flops": peak,
+    }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

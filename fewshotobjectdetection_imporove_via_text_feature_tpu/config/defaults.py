@@ -20,6 +20,10 @@ _C.OUTPUT_DIR = "./output"
 _C.SEED = -1
 _C.CUDNN_BENCHMARK = False
 _C.MUTE_HEADER = True
+# Output dir for the teacher-novel fine-tune stage. Another key the
+# reference passes via --opts without ever committing a schema entry
+# (run_text_train_teacher_novel.sh:44 `TEACHER_NOVEL_DIR ${...}`).
+_C.TEACHER_NOVEL_DIR = ""
 
 # ---------------------------------------------------------------- MODEL --
 _C.MODEL = CfgNode()

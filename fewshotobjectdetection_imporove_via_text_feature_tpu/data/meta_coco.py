@@ -77,6 +77,11 @@ def load_coco_json(json_file, image_root, metadata, dataset_name, root="datasets
                     "category_id": id_map[cid],
                     "bbox": [x, y, x + w, y + h],
                     "iscrowd": ann.get("iscrowd", 0),
+                    # COCOeval's area-range ignore uses the annotation's
+                    # 'area' field (segmentation area in real COCO), NOT the
+                    # bbox area — keep it so the evaluator matches
+                    # pycocotools on real data.
+                    "area": ann.get("area", w * h),
                 }
             )
         record["annotations"] = objs

@@ -50,6 +50,28 @@ class TorchvisionResNet(nn.Module):
         return logits, feature
 
 
+def torchvision_r101_manifest():
+    """Complete key list of the torchvision ResNet-101 state dict
+    (resnet101-5d3b4d8f.pth — the file TEST.PCB_MODELPATH points at,
+    reference calibration_layer.py:38-39): 522 tensors from the canonical
+    [3, 4, 23, 3] bottleneck layout. Used by tools/preflight_real_voc.py
+    to gate real runs on full import coverage; pinned independently by
+    tests/test_weight_import.py."""
+    bn_leaves = ("weight", "bias", "running_mean", "running_var")
+    keys = ["conv1.weight"] + [f"bn1.{l}" for l in bn_leaves]
+    for li, n in enumerate((3, 4, 23, 3), start=1):
+        for b in range(n):
+            p = f"layer{li}.{b}"
+            for c in (1, 2, 3):
+                keys.append(f"{p}.conv{c}.weight")
+                keys += [f"{p}.bn{c}.{l}" for l in bn_leaves]
+            if b == 0:
+                keys.append(f"{p}.downsample.0.weight")
+                keys += [f"{p}.downsample.1.{l}" for l in bn_leaves]
+    keys += ["fc.weight", "fc.bias"]
+    return keys
+
+
 def tv_translate(name: str):
     """torchvision state-dict name -> our flattened path + kind."""
     if name == "conv1.weight":

@@ -107,7 +107,22 @@ def evaluate_coco_detections(gt_by_image, dets_by_image, class_ids):
             sel = [a for a in anns if a["category_id"] == cls]
             boxes = np.array([a["bbox"] for a in sel], float).reshape(-1, 4)
             crowd = np.array([a.get("iscrowd", 0) for a in sel], bool)
-            per_img[img] = (boxes, crowd)
+            # COCOeval area-range ignore uses the annotation 'area' field
+            # (segmentation area on real COCO); fall back to bbox area,
+            # which is what d2's convert_to_coco_json writes for box-only
+            # datasets (VOC routed through the COCO evaluator).
+            areas = np.array(
+                [
+                    a.get(
+                        "area",
+                        (a["bbox"][2] - a["bbox"][0])
+                        * (a["bbox"][3] - a["bbox"][1]),
+                    )
+                    for a in sel
+                ],
+                float,
+            )
+            per_img[img] = (boxes, crowd, areas)
 
         det_img = {}
         for img, (boxes, scores, classes) in dets_by_image.items():
@@ -118,9 +133,9 @@ def evaluate_coco_detections(gt_by_image, dets_by_image, class_ids):
             scores_all, match_all, ignore_all = [], [], []
             npos = 0
             for img in gt_by_image:
-                gt_boxes, gt_crowd = per_img.get(img, (np.zeros((0, 4)), np.zeros(0, bool)))
-                areas = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (
-                    gt_boxes[:, 3] - gt_boxes[:, 1]
+                gt_boxes, gt_crowd, areas = per_img.get(
+                    img,
+                    (np.zeros((0, 4)), np.zeros(0, bool), np.zeros(0)),
                 )
                 gt_ignore = gt_crowd | (areas < lo) | (areas > hi)
                 npos += int((~gt_ignore).sum())

@@ -114,6 +114,11 @@ def _build_generalized_rcnn(cfg):
 
 
 def build_model(cfg):
+    # text_heads registers the semantic/distillation/text meta-archs on
+    # import; pull it in here so the registry is complete regardless of
+    # which module the caller touched first.
+    from . import text_heads  # noqa: F401
+
     name = cfg.MODEL.META_ARCHITECTURE
     if name not in META_ARCH_REGISTRY:
         raise KeyError(

@@ -17,6 +17,9 @@ datasets/glove in CI), exactly as the CLI would with an empty datasets dir.
 """
 
 import functools
+import glob
+import os
+import re
 
 import jax
 import numpy as np
@@ -66,6 +69,111 @@ COMBOS = [
 ]
 
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_KEY_RE = re.compile(r"^(?:[A-Z][A-Z0-9_]*\.)+[A-Z][A-Z0-9_]*$")
+_TOP_KEYS = {"OUTPUT_DIR", "MUTE_HEADER", "TEACHER_NOVEL_DIR", "SEED"}
+
+
+def _script_paths():
+    return sorted(glob.glob(os.path.join(ROOT, "run_*.sh")))
+
+
+def parse_script_pairs(path):
+    """Extract every `CONFIG.KEY value` pair a run script passes (both in
+    cfg_MODEL blocks and inline --opts), comments stripped, shell vars in
+    values replaced by a placeholder."""
+    lines = [
+        ln.split("#", 1)[0] for ln in open(path).read().splitlines()
+    ]
+    toks = " ".join(lines).split()
+    pairs = []
+    i = 0
+    while i < len(toks) - 1:
+        t = toks[i]
+        if _KEY_RE.match(t) or t in _TOP_KEYS:
+            pairs.append((t, re.sub(r"\$\{[^}]*\}", "dummy", toks[i + 1])))
+            i += 2
+        else:
+            i += 1
+    return pairs
+
+
+def parsed_model_combos():
+    """(meta_arch, roi_heads, output_layer) combos straight from the
+    ported scripts' cfg_MODEL blocks — NOT a hand-copied list, so a new
+    or edited script is exercised automatically (VERDICT r1 #5)."""
+    combos = set()
+    for path in _script_paths():
+        txt = open(path).read()
+        blocks = re.findall(r'cfg_MODEL="(.*?)"', txt, re.S)
+        if not blocks:
+            blocks = [""]  # run_voc.sh / run_coco.sh: pure defaults
+        for block in blocks:
+            d = dict(
+                (k, v)
+                for k, v in parse_script_pairs_from_text(block)
+            )
+            combos.add(
+                (
+                    d.get("MODEL.META_ARCHITECTURE", "GeneralizedRCNN"),
+                    d.get("MODEL.ROI_HEADS.NAME", "Res5ROIHeads"),
+                    d.get(
+                        "MODEL.ROI_HEADS.OUTPUT_LAYER",
+                        "FastRCNNOutputLayers",
+                    ),
+                )
+            )
+    return sorted(combos)
+
+
+def parse_script_pairs_from_text(text):
+    toks = text.split()
+    pairs = []
+    i = 0
+    while i < len(toks) - 1:
+        if _KEY_RE.match(toks[i]) or toks[i] in _TOP_KEYS:
+            pairs.append((toks[i], toks[i + 1]))
+            i += 2
+        else:
+            i += 1
+    return pairs
+
+
+@pytest.mark.parametrize(
+    "script", _script_paths(), ids=[os.path.basename(p) for p in _script_paths()]
+)
+def test_every_script_opt_parses_into_schema(script):
+    """Every config key any ported run script passes must exist in the
+    typed schema and accept the script's literal value — the reference
+    authors ran with uncommitted defaults (SURVEY §5.6); we must not."""
+    pairs = parse_script_pairs(script)
+    assert pairs, f"{script}: parsed no config pairs"
+    cfg = get_cfg()
+    flat = [x for kv in pairs for x in kv]
+    cfg.merge_from_list(flat)
+
+
+def test_parsed_combos_cover_reference_surface():
+    """The scripts must collectively exercise every head family the
+    reference workflow invokes."""
+    heads = {h for _, h, _ in parsed_model_combos()}
+    assert {
+        "Res5ROIHeads",
+        "TextRes5ROIHeads",
+        "TextRes5ROIHeads_textDomination",
+        "TextRes5ROIHeads_textDomination_VKV",
+        "SematicRes5ROIHeads",
+        "SematicRes5ROIHeadsCrossOutput",
+    } <= heads, heads
+
+
+@pytest.mark.parametrize("meta,head,out_layer", parsed_model_combos())
+def test_parsed_script_combo_builds_and_runs(meta, head, out_layer):
+    """Build-and-forward every combo parsed from the scripts themselves."""
+    _run_combo(meta, head, out_layer, set())
+
+
 def _tiny_batch():
     rng = np.random.RandomState(0)
     h = w = 64
@@ -88,6 +196,10 @@ def _tiny_batch():
 
 @pytest.mark.parametrize("meta,head,out_layer,want", COMBOS)
 def test_run_script_combo_builds_and_runs(meta, head, out_layer, want):
+    _run_combo(meta, head, out_layer, want)
+
+
+def _run_combo(meta, head, out_layer, want):
     cfg = get_cfg()
     cfg.merge_from_list(
         TINY
