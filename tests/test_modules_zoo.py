@@ -152,3 +152,68 @@ def test_sim_matrix():
     a = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
     out = np.asarray(sim_matrix(a, a))
     np.testing.assert_allclose(out, np.eye(2), atol=1e-6)
+
+
+def test_optimal_transport_full_block_grads_match_unrolled():
+    """The 'full' and 'block' implicit gradients (DDN KKT solves, ref
+    OptimalTransportFcn my_module.py:236-329) must equal the true gradient
+    — computed here by backprop through a fully-converged sinkhorn unroll —
+    for dJ/dM, dJ/dr and dJ/dc; 'full' and 'block' must agree with each
+    other to numerical precision (mirrors the reference's __main__
+    gradcheck at my_module.py:1252-1328)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 5, 7
+    M = jnp.asarray(rng.uniform(0.1, 1.0, (b, h, w)), jnp.float32)
+    r = jnp.asarray(rng.uniform(0.5, 1.5, (b, h)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0.5, 1.5, (b, w)), jnp.float32)
+    w0 = jnp.asarray(rng.randn(b, h, w), jnp.float32)
+    gamma, iters = 2.0, 3000
+
+    def loss_unrolled(M, r, c):
+        return jnp.sum(sinkhorn(M, r, c, gamma, iters) * w0)
+
+    def loss_implicit(method):
+        def f(M, r, c):
+            return jnp.sum(
+                optimal_transport(M, r, c, gamma, iters, False, method) * w0
+            )
+        return f
+
+    g_true = jax.grad(loss_unrolled, argnums=(0, 1, 2))(M, r, c)
+    g_full = jax.grad(loss_implicit("full"), argnums=(0, 1, 2))(M, r, c)
+    g_block = jax.grad(loss_implicit("block"), argnums=(0, 1, 2))(M, r, c)
+
+    for name, t, f_, bl in zip(
+        ("dM", "dr", "dc"), g_true, g_full, g_block
+    ):
+        scale = float(jnp.max(jnp.abs(t))) + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(f_), np.asarray(t), atol=5e-3 * scale, err_msg=f"full {name}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(bl), np.asarray(t), atol=5e-3 * scale, err_msg=f"block {name}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_), np.asarray(bl), atol=1e-4 * scale,
+            err_msg=f"full vs block {name}",
+        )
+
+
+def test_optimal_transport_approx_zero_rc_grads():
+    """'approx' returns zero (not garbage) gradients for provided r/c,
+    like the reference's zero-initialized dJdr/dJdc (my_module.py:231)."""
+    import jax
+
+    rng = np.random.RandomState(1)
+    M = jnp.asarray(rng.uniform(0.1, 1.0, (1, 4, 6)), jnp.float32)
+    r = jnp.asarray(rng.uniform(0.5, 1.5, (1, 4)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0.5, 1.5, (1, 6)), jnp.float32)
+    _, dr, dc = jax.grad(
+        lambda M, r, c: jnp.sum(
+            optimal_transport(M, r, c, 1.0, 50, False, "approx") ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(M, r, c)
+    assert not np.any(np.asarray(dr)) and not np.any(np.asarray(dc))
