@@ -1,0 +1,408 @@
+"""Numerical parity against the reference's OWN torch code, executed as
+oracles.
+
+The reference modules can't be imported directly (detectron2/torchnlp are
+absent, device strings say 'cuda'), but their math is pure torch: we exec
+the exact class sources read from /root/reference at test time — with
+sys.modules stubs for the absent deps and a mechanical 'cuda'->'cpu'
+device redirection — then drive reference module and our flax module with
+IDENTICAL weights and inputs and require matching outputs/gradients.
+
+Covers:
+  * SingleHeadSiameseAttention + FFN (attentive_modules.py:36-177) — the
+    attention core under every text head;
+  * LV_attention (attentive_modules.py:297-437) — the teacher-forcing
+    flagship (GloVe stubbed with deterministic vectors fed to both sides);
+  * OptimalTransportFcn (my_module.py:185-329) — forward P and the
+    implicit backward in all three gradient modes (approx/full/block)
+    for dJ/dM, dJ/dr, dJ/dc.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/defrcn/modeling/roi_heads"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference source not available"
+)
+
+
+# ---------------------------------------------------------------------------
+# oracle loaders
+# ---------------------------------------------------------------------------
+def _attention_ns(extra_src_end=None):
+    """Exec attentive_modules.py classes up to `extra_src_end` (exclusive
+    marker string) in an isolated namespace."""
+    src = open(os.path.join(REF, "attentive_modules.py")).read()
+    start = src.index("class ScaledDotProductAttention")
+    end = src.index(extra_src_end or "class SematicProposalAttention")
+    segment = src[start:end]
+    segment = segment.replace("'cuda'", "'cpu'").replace(".cuda()", ".cpu()")
+    import torch.nn.functional as F
+    from torch import nn
+
+    ns = {"torch": torch, "nn": nn, "F": F, "np": np}
+    exec(compile(segment, "ref_attentive_modules", "exec"), ns)
+    return ns
+
+
+def _lv_ns(stub_glove, stub_metadata):
+    """Exec through LV_attention with GloVe/MetadataCatalog stubbed."""
+    src = open(os.path.join(REF, "attentive_modules.py")).read()
+    start = src.index("class ScaledDotProductAttention")
+    end = src.index("class LV_attention_VKV")
+    segment = src[start:end]
+    segment = segment.replace("'cuda'", "'cpu'").replace(".cuda()", ".cpu()")
+    import torch.nn.functional as F
+    from torch import nn
+
+    # _init_parameters is defined earlier in the file — extract it too
+    ip_start = src.index("def _init_parameters")
+    ip_end = src.index("class", ip_start)
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np,
+        "GloVe": stub_glove, "MetadataCatalog": stub_metadata,
+    }
+    exec(compile(src[ip_start:ip_end], "ref_init_parameters", "exec"), ns)
+    exec(compile(segment, "ref_attentive_modules", "exec"), ns)
+    return ns
+
+
+def _my_module_ns():
+    """Exec my_module.py whole, stubbing detectron2.data."""
+    src = open(os.path.join(REF, "my_module.py")).read()
+    stub_data = types.ModuleType("detectron2.data")
+    stub_data.MetadataCatalog = object()
+    stub_data.DatasetCatalog = object()
+    stub_d2 = types.ModuleType("detectron2")
+    stub_d2.data = stub_data
+    saved = {k: sys.modules.get(k) for k in ("detectron2", "detectron2.data")}
+    sys.modules["detectron2"] = stub_d2
+    sys.modules["detectron2.data"] = stub_data
+    try:
+        ns = {}
+        exec(compile(src, "ref_my_module", "exec"), ns)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    return ns
+
+
+# ---------------------------------------------------------------------------
+# weight transfer helpers
+# ---------------------------------------------------------------------------
+def _t(x):
+    return np.asarray(x.detach().numpy())
+
+
+def _siamese_params_from_torch(mod):
+    """torch SingleHeadSiameseAttention -> our flax param dict."""
+    return {
+        "w_q": {"kernel": _t(mod.w_q.weight).T},
+        "w_k": {"kernel": _t(mod.w_k.weight).T},
+        "w_v": {"kernel": _t(mod.w_v.weight).T},
+        "dummy": _t(mod.dummy),
+        "linear1": {
+            "kernel": _t(mod.linear1[0].weight).T,
+            "bias": _t(mod.linear1[0].bias),
+        },
+        "linear2": {
+            "kernel": _t(mod.linear2[0].weight).T,
+            "bias": _t(mod.linear2[0].bias),
+        },
+        "linear3": {
+            "kernel": _t(mod.linear3.weight).T,
+            "bias": _t(mod.linear3.bias),
+        },
+        "ffn": {
+            "linear1": {
+                "kernel": _t(mod.ffn.linear1.weight).T,
+                "bias": _t(mod.ffn.linear1.bias),
+            },
+            "linear2": {
+                "kernel": _t(mod.ffn.linear2.weight).T,
+                "bias": _t(mod.ffn.linear2.bias),
+            },
+            "norm3": {
+                "scale": _t(mod.ffn.norm3.weight),
+                "bias": _t(mod.ffn.norm3.bias),
+            },
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+@needs_ref
+def test_siamese_attention_matches_reference():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+        SingleHeadSiameseAttention,
+    )
+
+    ns = _attention_ns()
+    torch.manual_seed(0)
+    d, b, lq, lk = 32, 2, 5, 4
+    ref = ns["SingleHeadSiameseAttention"](d)
+    ref.eval()
+
+    rng = np.random.RandomState(1)
+    q = rng.randn(b, lq, d).astype(np.float32)
+    k = rng.randn(b, lk, d).astype(np.float32)
+    v = rng.randn(b, lk, d).astype(np.float32)
+    with torch.no_grad():
+        out_ref, attn_ref = ref(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+        )
+
+    ours = SingleHeadSiameseAttention(d)
+    params = {"params": _siamese_params_from_torch(ref)}
+    out, attn = ours.apply(
+        params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _t(out_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(attn), _t(attn_ref), rtol=1e-4, atol=1e-6
+    )
+
+
+@needs_ref
+def test_lv_attention_matches_reference():
+    """Teacher-forcing attention: same GloVe stub vectors, same weights
+    -> same sim2stext, including the background (label == C) rows."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+        LVAttention,
+    )
+
+    words = {}
+
+    class StubGloVe:
+        def __init__(self, name="6B", dim=300):
+            self.dim = dim
+
+        def __getitem__(self, word):
+            if word not in words:
+                r = np.random.RandomState(abs(hash(word)) % (2**31))
+                words[word] = torch.from_numpy(
+                    r.randn(self.dim).astype(np.float32)
+                )
+            return words[word]
+
+    classes = ["cat", "dog", "diningtable", "pottedplant", "tvmonitor"]
+
+    class StubMeta:
+        @staticmethod
+        def get(name):
+            m = types.SimpleNamespace()
+            m.base_classes = classes
+            return m
+
+    cfg = types.SimpleNamespace(
+        DATASETS=types.SimpleNamespace(TRAIN=("voc_2007_trainval_base1",))
+    )
+
+    ns = _lv_ns(StubGloVe, StubMeta)
+    torch.manual_seed(0)
+    d = 32
+    ref = ns["LV_attention"](d, cfg=cfg)
+    ref.eval()
+
+    n = 7
+    rng = np.random.RandomState(2)
+    vis = rng.randn(n, d).astype(np.float32)
+    labels = np.array([0, 1, 2, 3, 4, 5, 5])  # 5 == background bucket
+    with torch.no_grad():
+        _, out_ref = ref(
+            torch.from_numpy(vis), torch.from_numpy(labels).long()
+        )
+
+    ours = LVAttention(
+        input_size=d,
+        class_embed=_t(ref.embed),  # identical bank both sides
+        text_dim=300,
+    )
+    params = {
+        "params": {
+            "w_bg": _t(ref.w_bg),
+            "proj2": {
+                "kernel": _t(ref.proj2.weight).T,
+                "bias": _t(ref.proj2.bias),
+            },
+            "proj_k": {
+                "kernel": _t(ref.proj_k.weight).T,
+                "bias": _t(ref.proj_k.bias),
+            },
+            "attention": _siamese_params_from_torch(ref.attention),
+        }
+    }
+    _, out = ours.apply(params, jnp.asarray(vis), jnp.asarray(labels))
+    # f32 both sides, but the GloVe-scale embeddings drive a sharp softmax
+    # whose tiny logit differences are re-amplified by the FFN LayerNorm —
+    # observed max |diff| ~8e-4 on O(1) outputs (pure reduction-order
+    # noise; the intermediate text/value features agree to 1e-6).
+    np.testing.assert_allclose(
+        np.asarray(out["sim2stext"]),
+        _t(out_ref["sim2stext"][0]),
+        rtol=0,
+        atol=3e-3,
+    )
+
+
+@needs_ref
+def test_sematic_proposal_attention_matches_reference():
+    """ROI-over-embedding-bank attention (attentive_modules.py:191-294):
+    same bank (class embeds + bg stub) and weights -> same attention
+    scores and sim2stext. The reference computes its bg vector with a
+    formula that is NOT actually orthogonal (documented deviation #4), so
+    the bank including bg is injected identically into both sides and
+    only the math downstream is compared."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+        SematicProposalAttention,
+    )
+
+    rng = np.random.RandomState(5)
+    sem_dim, d, n_cls = 300, 32, 5
+    class_embed = rng.randn(n_cls, sem_dim).astype(np.float32)
+    bg = rng.randn(1, sem_dim).astype(np.float32)
+
+    src = open(os.path.join(REF, "attentive_modules.py")).read()
+    ip_start = src.index("def _init_parameters")
+    ip_end = src.index("class", ip_start)
+    start = src.index("class ScaledDotProductAttention")
+    end = src.index("class LV_attention")
+    segment = (
+        src[start:end].replace("'cuda'", "'cpu'").replace(".cuda()", ".cpu()")
+    )
+    import torch.nn.functional as F
+    from torch import nn
+
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np,
+        "get_class_name": lambda cfg: [f"c{i}" for i in range(n_cls)],
+        "get_class_embed": lambda names, model, include_bg=False: (
+            torch.from_numpy(class_embed)
+        ),
+        "create_normalized_orthogonal_tensor": lambda avg: (
+            torch.from_numpy(bg)
+        ),
+    }
+    exec(compile(src[ip_start:ip_end], "ref_init_parameters", "exec"), ns)
+    exec(compile(segment, "ref_attentive_modules", "exec"), ns)
+
+    cfg = types.SimpleNamespace(
+        MODEL=types.SimpleNamespace(
+            ADDITION=types.SimpleNamespace(NAME="glove"),
+            ROI_HEADS=types.SimpleNamespace(NUM_CLASSES=n_cls),
+        )
+    )
+    torch.manual_seed(3)
+    ref = ns["SematicProposalAttention"](d, cfg=cfg)
+    ref.eval()
+
+    n = 6
+    vis = rng.randn(n, d).astype(np.float32)
+    with torch.no_grad():
+        attn_ref, out_ref = ref(torch.from_numpy(vis))
+
+    ours = SematicProposalAttention(
+        input_size=d, class_embed=class_embed, bg_embed=bg
+    )
+    params = {
+        "params": {
+            "key_projection": {
+                "kernel": _t(ref.key_projection.weight).T,
+                "bias": _t(ref.key_projection.bias),
+            },
+            "value_projection": {
+                "kernel": _t(ref.value_projection.weight).T,
+                "bias": _t(ref.value_projection.bias),
+            },
+            "attention": _siamese_params_from_torch(ref.attention),
+        }
+    }
+    attn, out = ours.apply(params, jnp.asarray(vis))
+    np.testing.assert_allclose(
+        np.asarray(attn), _t(attn_ref), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["sim2stext"]),
+        _t(out_ref["sim2stext"]),
+        rtol=0,
+        atol=3e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["text_feat"]), _t(out_ref["text_feat"]), atol=1e-6
+    )
+
+
+@needs_ref
+@pytest.mark.parametrize("method", ["approx", "full", "block"])
+@pytest.mark.parametrize("logspace", [False])
+def test_optimal_transport_matches_reference_backward(method, logspace):
+    """Forward P and backward dJ/dM, dJ/dr, dJ/dc vs the reference's
+    OptimalTransportFcn (exec'd my_module.py) on the same inputs. The
+    oracle runs float64; ours runs float32 — tolerances reflect that."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+        optimal_transport,
+    )
+
+    ns = _my_module_ns()
+    fcn = ns["OptimalTransportFcn"]
+
+    rng = np.random.RandomState(0)
+    b, h, w = 2, 5, 7
+    M = rng.uniform(0.1, 1.0, (b, h, w))
+    r = rng.uniform(0.5, 1.5, (b, h))
+    c = rng.uniform(0.5, 1.5, (b, w))
+    w0 = rng.randn(b, h, w)
+    gamma, maxiters = 2.0, 2000
+
+    M_t = torch.tensor(M, dtype=torch.float64, requires_grad=True)
+    r_t = torch.tensor(r, dtype=torch.float64, requires_grad=True)
+    c_t = torch.tensor(c, dtype=torch.float64, requires_grad=True)
+    P_ref = fcn.apply(M_t, r_t, c_t, gamma, 1e-9, maxiters, logspace, method)
+    (P_ref * torch.tensor(w0)).sum().backward()
+
+    M_j = jnp.asarray(M, jnp.float32)
+    r_j = jnp.asarray(r, jnp.float32)
+    c_j = jnp.asarray(c, jnp.float32)
+    w0_j = jnp.asarray(w0, jnp.float32)
+
+    P = optimal_transport(M_j, r_j, c_j, gamma, maxiters, logspace, method)
+    np.testing.assert_allclose(
+        np.asarray(P), _t(P_ref), rtol=0, atol=2e-6
+    )
+
+    grads = jax.grad(
+        lambda M_, r_, c_: jnp.sum(
+            optimal_transport(M_, r_, c_, gamma, maxiters, logspace, method)
+            * w0_j
+        ),
+        argnums=(0, 1, 2),
+    )(M_j, r_j, c_j)
+    for name, ours_g, ref_g in zip(
+        ("dM", "dr", "dc"), grads, (M_t.grad, r_t.grad, c_t.grad)
+    ):
+        ref_np = _t(ref_g)
+        scale = np.max(np.abs(ref_np)) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(ours_g),
+            ref_np,
+            atol=2e-3 * scale,
+            err_msg=f"{method} {name}",
+        )
