@@ -406,3 +406,135 @@ def test_optimal_transport_matches_reference_backward(method, logspace):
             atol=2e-3 * scale,
             err_msg=f"{method} {name}",
         )
+
+
+@needs_ref
+def test_gdl_and_affine_match_reference():
+    """GDL (identity fwd, grad x lambda bwd) + AffineLayer vs the exec'd
+    reference gdl.py (defrcn/modeling/meta_arch/gdl.py:6-38)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.meta_arch import (
+        AffineLayer,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.ops.gdl import (
+        decouple_layer,
+    )
+
+    src = open(
+        "/root/reference/defrcn/modeling/meta_arch/gdl.py"
+    ).read()
+    from torch import nn
+    from torch.autograd import Function
+
+    ns = {"torch": torch, "nn": nn, "Function": Function}
+    exec(compile(src, "ref_gdl", "exec"), ns)
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 4, 5, 3).astype(np.float32)  # ours NHWC
+    lam = 0.75
+
+    # gradient of a nonlinear readout through the decouple layer
+    x_t = torch.tensor(
+        x.transpose(0, 3, 1, 2), requires_grad=True
+    )  # torch NCHW
+    y_t = ns["decouple_layer"](x_t, lam)
+    (y_t * y_t).sum().backward()
+    g_ref = _t(x_t.grad).transpose(0, 2, 3, 1)
+
+    g = jax.grad(
+        lambda v: jnp.sum(decouple_layer(v, lam) ** 2)
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-6)
+    # forward is identity both sides
+    np.testing.assert_allclose(
+        np.asarray(decouple_layer(jnp.asarray(x), lam)), x
+    )
+
+    # AffineLayer with bias: same scale/bias values -> same output
+    torch.manual_seed(0)
+    ref_aff = ns["AffineLayer"](3, bias=True)
+    with torch.no_grad():
+        ref_aff.weight.copy_(torch.randn(1, 3, 1, 1))
+        ref_aff.bias.copy_(torch.randn(1, 3, 1, 1))
+        out_ref = ref_aff(torch.tensor(x.transpose(0, 3, 1, 2)))
+    ours = AffineLayer(channels=3, use_bias=True)
+    params = {
+        "params": {
+            "weight": _t(ref_aff.weight).reshape(3),
+            "bias": _t(ref_aff.bias).reshape(3),
+        }
+    }
+    out = ours.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), _t(out_ref).transpose(0, 2, 3, 1), rtol=1e-6
+    )
+
+
+@needs_ref
+def test_loss_fn_kd_only_matches_reference():
+    """KD loss with the 1.5x bg weighting vs the reference's actual
+    loss_fn_kd_only (exec'd my_module.py:408-437)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+        loss_fn_kd_only,
+    )
+
+    ns = _my_module_ns()
+    rng = np.random.RandomState(11)
+    n, k = 24, 16
+    student = rng.randn(n, k).astype(np.float32) * 3
+    teacher = rng.randn(n, k).astype(np.float32) * 3
+    labels = rng.randint(0, k, n)
+    bg = k - 1
+    T, alpha = 5.0, 1.0
+
+    ref = ns["loss_fn_kd_only"](
+        torch.from_numpy(student),
+        torch.from_numpy(labels).long(),
+        bg,
+        torch.from_numpy(teacher),
+        {"alpha": alpha, "temperature": T},
+    )
+    ours = loss_fn_kd_only(
+        jnp.asarray(student), jnp.asarray(labels), bg,
+        jnp.asarray(teacher), temperature=T, alpha=alpha,
+    )
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+@needs_ref
+def test_dandr_loss_matches_reference():
+    """DKD-style fg/bg-decomposed loss vs the exec'd reference
+    (defrcn/utils/kdloss.py:5-50), values AND student gradient."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.utils.kdloss import (
+        dandr_loss,
+    )
+
+    src = open("/root/reference/defrcn/utils/kdloss.py").read()
+    import torch.nn.functional as F
+
+    ns = {"torch": torch, "F": F}
+    exec(compile(src, "ref_kdloss", "exec"), ns)
+
+    rng = np.random.RandomState(13)
+    n, k = 20, 11
+    student = rng.randn(n, k).astype(np.float32) * 2
+    teacher = rng.randn(n, k).astype(np.float32) * 2
+    # mix of fg rows and bg rows (bg = last column)
+    labels = np.concatenate([rng.randint(0, k - 1, n - 6), [k - 1] * 6])
+    alpha, beta, T = 1.0, 8.0, 4.0
+
+    s_t = torch.tensor(student, requires_grad=True)
+    ref = ns["dandr_loss"](
+        s_t, torch.from_numpy(teacher), torch.from_numpy(labels).long(),
+        alpha, beta, T,
+    )
+    ref.backward()
+
+    val, grad = jax.value_and_grad(
+        lambda s: dandr_loss(
+            s, jnp.asarray(teacher), jnp.asarray(labels), alpha, beta, T
+        )
+    )(jnp.asarray(student))
+    np.testing.assert_allclose(float(val), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad), _t(s_t.grad), rtol=1e-4, atol=1e-7
+    )
