@@ -538,3 +538,72 @@ def test_dandr_loss_matches_reference():
     np.testing.assert_allclose(
         np.asarray(grad), _t(s_t.grad), rtol=1e-4, atol=1e-7
     )
+
+
+@needs_ref
+def test_zoo_functions_match_reference():
+    """sim_matrix / bsim_matrix / blogits_matrix / loss_fn_kd and the two
+    label-smoothing losses vs the exec'd reference my_module.py
+    (:393-406, :440-469, :939-979)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models import (
+        modules_zoo as z,
+    )
+
+    ns = _my_module_ns()
+    rng = np.random.RandomState(17)
+
+    a = rng.randn(6, 9).astype(np.float32)
+    b2 = rng.randn(8, 9).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(z.sim_matrix(jnp.asarray(a), jnp.asarray(b2))),
+        _t(ns["sim_matrix"](torch.from_numpy(a), torch.from_numpy(b2))),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    ab = rng.randn(3, 5, 9).astype(np.float32)
+    bb = rng.randn(3, 7, 9).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(z.bsim_matrix(jnp.asarray(ab), jnp.asarray(bb), 2.0)),
+        _t(ns["bsim_matrix"](torch.from_numpy(ab), torch.from_numpy(bb), 2.0)),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z.blogits_matrix(jnp.asarray(ab), jnp.asarray(bb))),
+        _t(ns["blogits_matrix"](torch.from_numpy(ab), torch.from_numpy(bb))),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    n, k = 12, 7
+    logits = (rng.randn(n, k) * 2).astype(np.float32)
+    teacher = (rng.randn(n, k) * 2).astype(np.float32)
+    labels = rng.randint(0, k, n)
+    np.testing.assert_allclose(
+        float(z.loss_fn_kd(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(teacher),
+            alpha=0.7, temperature=3.0,
+        )),
+        float(ns["loss_fn_kd"](
+            torch.from_numpy(logits), torch.from_numpy(labels).long(),
+            torch.from_numpy(teacher), {"alpha": 0.7, "temperature": 3.0},
+        )),
+        rtol=1e-5,
+    )
+
+    np.testing.assert_allclose(
+        float(z.label_smoothing_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), epsilon=0.1
+        )),
+        float(ns["LabelSmoothingCrossEntropy"](0.1)(
+            torch.from_numpy(logits), torch.from_numpy(labels).long()
+        )),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(z.label_smoothing_loss(
+            jnp.asarray(logits), jnp.asarray(labels), smoothing=0.2
+        )),
+        float(ns["LabelSmoothingLoss"](smoothing=0.2)(
+            torch.from_numpy(logits), torch.from_numpy(labels).long()
+        )),
+        rtol=1e-5,
+    )
