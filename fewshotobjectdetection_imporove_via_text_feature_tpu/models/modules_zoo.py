@@ -266,24 +266,36 @@ def memory_bank_update(
 # --------------------------------------------------------------------------
 # Contrastive loss (my_module.py:1062-1197, call_loss3/2 style)
 # --------------------------------------------------------------------------
-def contrastive_loss(x, y, mem, tau=1e-2):
-    """x (N, D) normalized against per-class memory (C, cap, D): positive =
-    mean of own-class slots, negatives = all other-class slots."""
+def contrastive_loss(x, y, mem, tau=1e-2, neg_topk=40):
+    """InfoNCE against the per-class memory, matching the reference's live
+    branch (contrastive_loss.call_loss3, my_module.py:1152-1199):
+
+      * positive  = x_norm . normalize(mean of OWN-class raw slots) / tau
+        (normalize AFTER the mean, not before);
+      * negatives = x_norm . normalize(slot) / tau over OTHER-class slots,
+        hardest ``neg_topk`` (=40) only;
+      * loss = CE([pos, negs], label 0).
+
+    x (N, D); y (N,) in [0, C); mem (C, cap, D).
+    """
     n, d = x.shape
     c, cap, _ = mem.shape
     xn = _norm(x)
     memn = _norm(mem)
 
-    class_means = memn.mean(axis=1)  # (C, D)
-    logits_all = xn @ memn.reshape(c * cap, d).T / tau  # (N, C*cap)
+    class_means = _norm(mem.mean(axis=1))  # (C, D) — norm of the raw mean
     pos = jnp.take_along_axis(
         xn @ class_means.T / tau, y[:, None], axis=1
     )  # (N, 1)
+
+    logits_all = xn @ memn.reshape(c * cap, d).T / tau  # (N, C*cap)
     own_class = (
         jnp.arange(c)[None, :, None] == y[:, None, None]
     )  # (N, C, 1)
     neg_mask = ~jnp.broadcast_to(own_class, (n, c, cap)).reshape(n, c * cap)
     neg = jnp.where(neg_mask, logits_all, -jnp.inf)
+    k = min(neg_topk, (c - 1) * cap)
+    neg, _ = jax.lax.top_k(neg, k)  # hardest negatives only
 
     logits = jnp.concatenate([pos, neg], axis=1)
     return -jnp.mean(jax.nn.log_softmax(logits, axis=1)[:, 0])

@@ -607,3 +607,49 @@ def test_zoo_functions_match_reference():
         )),
         rtol=1e-5,
     )
+
+
+@needs_ref
+def test_contrastive_loss_matches_reference_call_loss3():
+    """InfoNCE vs the reference's live branch (contrastive_loss.call_loss3,
+    my_module.py:1152-1199): normalize-after-mean positive, top-40 hardest
+    negatives, CE at label 0."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+        contrastive_loss,
+    )
+
+    src = open(os.path.join(REF, "my_module.py")).read()
+    src = src.replace(".cuda()", ".cpu()")
+    stub_data = types.ModuleType("detectron2.data")
+    stub_data.MetadataCatalog = object()
+    stub_data.DatasetCatalog = object()
+    stub_d2 = types.ModuleType("detectron2")
+    stub_d2.data = stub_data
+    saved = {k: sys.modules.get(k) for k in ("detectron2", "detectron2.data")}
+    sys.modules["detectron2"] = stub_d2
+    sys.modules["detectron2.data"] = stub_data
+    try:
+        ns = {}
+        exec(compile(src, "ref_my_module_cpu", "exec"), ns)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    rng = np.random.RandomState(19)
+    n, c, cap, d = 6, 5, 16, 32  # (c-1)*cap = 64 > topk 40
+    x = rng.randn(n, d).astype(np.float32)
+    y = rng.randint(0, c, n)
+    mem = rng.randn(c, cap, d).astype(np.float32)
+
+    ref_mod = ns["contrastive_loss"]()
+    ref = ref_mod(
+        torch.from_numpy(x), torch.from_numpy(y).long(),
+        torch.from_numpy(mem),
+    )
+    ours = contrastive_loss(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(mem), tau=ref_mod.tau
+    )
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
