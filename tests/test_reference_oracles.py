@@ -653,3 +653,41 @@ def test_contrastive_loss_matches_reference_call_loss3():
         jnp.asarray(x), jnp.asarray(y), jnp.asarray(mem), tau=ref_mod.tau
     )
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+@needs_ref
+def test_memory_bank_update_matches_reference_update4():
+    """EMA class-bank update vs the exec'd reference memory_bank.update4
+    (my_module.py:657-684): push class instances in front, keep cap,
+    blend each slot toward its LEAST-similar fixed anchor with 1-k."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+        memory_bank_update,
+    )
+
+    ns = _my_module_ns()
+    rng = np.random.RandomState(23)
+    c, cap, d, n, m = 4, 6, 12, 10, 15
+    mem0 = rng.randn(c, cap, d).astype(np.float32)
+    instances = rng.randn(n, d).astype(np.float32)
+    # includes the bg bucket (== num_classes) which update4 skips,
+    # and one class with MORE instances than cap after concat truncation
+    classes = np.array([0, 0, 0, 0, 0, 0, 0, 1, 4, 4])
+    fixed = {i: torch.from_numpy(rng.randn(5, d).astype(np.float32))
+             for i in range(3)}
+
+    ref_bank = ns["memory_bank"](
+        num_classes=c, capacity=cap, input_dim=d, device="cpu", mem=fixed
+    )
+    with torch.no_grad():
+        ref_bank.memory = torch.from_numpy(mem0.copy())
+        ref_bank.update4(
+            torch.from_numpy(instances), torch.from_numpy(classes).long()
+        )
+    ref_mem = _t(ref_bank.memory)
+
+    fixed_bank = np.concatenate([v.numpy() for v in fixed.values()], axis=0)
+    ours = memory_bank_update(
+        jnp.asarray(mem0), jnp.asarray(instances), jnp.asarray(classes),
+        jnp.asarray(fixed_bank), num_classes=c, k=0.99,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_mem, rtol=1e-5, atol=1e-6)
