@@ -339,3 +339,38 @@ class FeatureGenerator(nn.Module):
 def deconv_loss(*args, **kwargs):
     """Stub returning 0 (ref my_module.py:1331-1336 does the same)."""
     return jnp.zeros(())
+
+
+# --------------------------------------------------------------------------
+# BBox augmentation utils (my_module.py:1200-1243)
+# --------------------------------------------------------------------------
+def convert_center_to_xyxy(bbox, image_shape):
+    """(cx, cy, w, h) -> clipped XYXY; image_shape = (width, height)
+    (ref covert_center2_xywh, my_module.py:1222-1232 — despite the name it
+    returns XYXY)."""
+    width, height = image_shape
+    x_c, y_c, w, h = bbox
+    x = max(0.0, x_c - w / 2)
+    y = max(0.0, y_c - h / 2)
+    return [x, y, min(width, x + w), min(height, y + h)]
+
+
+def augment_bbox(bbox, image_shape, scale_factor=2):
+    """Three clipped same-center variants: scaled both ways, tall, wide
+    (ref my_module.py:1200-1219)."""
+    x, y, x2, y2 = bbox
+    w, h = x2 - x, y2 - y
+    cx, cy = x + w / 2, y + h / 2
+    sw, sh = w * scale_factor, h * scale_factor
+    return [
+        convert_center_to_xyxy(bb, image_shape)
+        for bb in ([cx, cy, sw, sh], [cx, cy, w, sh], [cx, cy, sw, h])
+    ]
+
+
+def pair_l2_distance(feature1, feature2):
+    """Pairwise euclidean distance (N, M) (ref my_module.py:1235-1243)."""
+    d2 = jnp.sum(
+        (feature1[:, None, :] - feature2[None, :, :]) ** 2, axis=-1
+    )
+    return jnp.sqrt(nn.relu(d2))

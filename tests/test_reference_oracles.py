@@ -691,3 +691,41 @@ def test_memory_bank_update_matches_reference_update4():
         jnp.asarray(fixed_bank), num_classes=c, k=0.99,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_mem, rtol=1e-5, atol=1e-6)
+
+
+@needs_ref
+def test_bbox_aug_and_pair_distance_match_reference():
+    """augment_bbox / covert_center2_xywh / pair_L2_distance vs the
+    exec'd reference (my_module.py:1200-1243)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+        augment_bbox,
+        pair_l2_distance,
+    )
+
+    ns = _my_module_ns()
+    rng = np.random.RandomState(29)
+    for _ in range(5):
+        x, y = rng.uniform(0, 200, 2)
+        bbox = [x, y, x + rng.uniform(5, 120), y + rng.uniform(5, 120)]
+        shape = (320, 240)
+        np.testing.assert_allclose(
+            np.array(augment_bbox(bbox, shape, 2)),
+            np.array(ns["augment_bbox"](bbox, shape, 2)),
+            rtol=1e-6,
+        )
+
+    f1 = rng.randn(6, 8).astype(np.float32)
+    f2 = rng.randn(9, 8).astype(np.float32)
+    src = open(os.path.join(REF, "my_module.py")).read()
+    # pair_L2_distance calls .cuda(); redirect
+    ref_fn_src = src[src.index("def pair_L2_distance"):src.index("# class loss()")]
+    ref_fn_src = ref_fn_src.replace(".cuda()", ".cpu()")
+    ns3 = {"torch": torch}
+    exec(compile(ref_fn_src, "ref_pair_l2", "exec"), ns3)
+    np.testing.assert_allclose(
+        np.asarray(pair_l2_distance(jnp.asarray(f1), jnp.asarray(f2))),
+        _t(ns3["pair_L2_distance"](
+            torch.from_numpy(f1), torch.from_numpy(f2)
+        )),
+        rtol=1e-4, atol=1e-5,
+    )
