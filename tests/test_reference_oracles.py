@@ -729,3 +729,54 @@ def test_bbox_aug_and_pair_distance_match_reference():
         )),
         rtol=1e-4, atol=1e-5,
     )
+
+
+@needs_ref
+def test_feature_generator_matches_reference_deterministic():
+    """generator (my_module.py:982-1020) vs FeatureGenerator with the
+    noise path disabled (std head forced to relu(-1)=0, so z == mean
+    exactly on both sides) and identical weights."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+        FeatureGenerator,
+    )
+
+    ns = _my_module_ns()
+    torch.manual_seed(5)
+    c, n, r = 16, 4, 3
+    ref = ns["generator"](c)
+    with torch.no_grad():
+        ref.std_layer[0].weight.zero_()
+        ref.std_layer[0].bias.fill_(-1.0)
+
+    rng = np.random.RandomState(31)
+    x = rng.randn(n, c).astype(np.float32)
+    label = np.arange(n)
+    with torch.no_grad():
+        out_ref, lab_ref = ref(
+            torch.from_numpy(x), torch.from_numpy(label).long(),
+            repeat_time=r,
+        )
+
+    ours = FeatureGenerator(input_size=c, repeat_time=r)
+    params = {
+        "params": {
+            "mean_layer": {
+                "kernel": _t(ref.mean_layer.weight).T,
+                "bias": _t(ref.mean_layer.bias),
+            },
+            "std_layer": {
+                "kernel": _t(ref.std_layer[0].weight).T,
+                "bias": _t(ref.std_layer[0].bias),
+            },
+            "mlp0": {"kernel": _t(ref.mlp[0].weight).T},
+            "mlp1": {"kernel": _t(ref.mlp[2].weight).T},
+        }
+    }
+    out, lab = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(label),
+        rngs={"generator": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), _t(out_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(lab), _t(lab_ref))
