@@ -267,3 +267,116 @@ def test_kd_loss_matches_torch_formula_on_reference_tensors():
         )
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def _d2_fast_rcnn_inference_mirror(
+    logits, deltas, proposals, hw, num_classes, score_thresh, nms_thresh,
+    topk, weights=(10.0, 10.0, 5.0, 5.0),
+):
+    """Independent numpy mirror of the reference's final detection path
+    (fast_rcnn.py:90-134 + Box2BoxTransform.apply_deltas): softmax -> drop
+    bg -> per-class decode+clip -> threshold -> class-aware NMS over
+    row-major (proposal, class) candidates -> top-k, score-sorted."""
+    import math
+
+    p = logits.shape[0]
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    scores = (e / e.sum(axis=1, keepdims=True))[:, :-1]  # (P, K)
+
+    scale_clamp = math.log(1000.0 / 16)
+    widths = proposals[:, 2] - proposals[:, 0]
+    heights = proposals[:, 3] - proposals[:, 1]
+    cx = proposals[:, 0] + 0.5 * widths
+    cy = proposals[:, 1] + 0.5 * heights
+    d = deltas.reshape(p, num_classes, 4)
+    wx, wy, ww, wh = weights
+    pcx = d[:, :, 0] / wx * widths[:, None] + cx[:, None]
+    pcy = d[:, :, 1] / wy * heights[:, None] + cy[:, None]
+    pw = np.exp(np.minimum(d[:, :, 2] / ww, scale_clamp)) * widths[:, None]
+    ph = np.exp(np.minimum(d[:, :, 3] / wh, scale_clamp)) * heights[:, None]
+    boxes = np.stack(
+        [pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2], axis=-1
+    )  # (P, K, 4)
+    h, w = hw
+    boxes[..., 0] = boxes[..., 0].clip(0, w)
+    boxes[..., 1] = boxes[..., 1].clip(0, h)
+    boxes[..., 2] = boxes[..., 2].clip(0, w)
+    boxes[..., 3] = boxes[..., 3].clip(0, h)
+
+    # row-major (proposal, class) candidate list, like filter_mask.nonzero()
+    keep_mask = scores > score_thresh
+    pi, ci = np.nonzero(keep_mask)
+    cb = boxes[pi, ci]
+    cs = scores[pi, ci]
+
+    # class-offset trick + greedy NMS (torchvision batched_nms semantics)
+    if len(cb):
+        max_coord = cb.max() + 1.0
+        shifted = cb + (ci[:, None] * max_coord)
+        order = np.argsort(-cs, kind="stable")
+        areas = (shifted[:, 2] - shifted[:, 0]) * (shifted[:, 3] - shifted[:, 1])
+        suppressed = np.zeros(len(cb), bool)
+        kept = []
+        for i in order:
+            if suppressed[i]:
+                continue
+            kept.append(i)
+            xx1 = np.maximum(shifted[i, 0], shifted[:, 0])
+            yy1 = np.maximum(shifted[i, 1], shifted[:, 1])
+            xx2 = np.minimum(shifted[i, 2], shifted[:, 2])
+            yy2 = np.minimum(shifted[i, 3], shifted[:, 3])
+            inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+            iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+            suppressed |= iou > nms_thresh
+        kept = kept[:topk]
+    else:
+        kept = []
+    return cb[kept], cs[kept], ci[kept]
+
+
+def test_fast_rcnn_inference_parity_vs_d2_mirror():
+    """The fixed-shape final detection path (fast_rcnn_inference) must
+    produce exactly the reference pipeline's detections — candidate set,
+    per-class NMS keep set, ordering and top-k — whenever the static
+    candidate budget covers all above-threshold candidates."""
+    import jax.numpy as jnp
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.fast_rcnn import (
+        fast_rcnn_inference,
+    )
+
+    rng = np.random.RandomState(4)
+    p, k = 64, 6
+    h, w = 320, 480
+    for seed in range(3):
+        r2 = np.random.RandomState(seed)
+        logits = (r2.randn(p, k + 1) * 2).astype(np.float32)
+        deltas = (r2.randn(p, k * 4) * 0.4).astype(np.float32)
+        props = r2.uniform(0, 300, (p, 4)).astype(np.float32)
+        props[:, 2:] = props[:, :2] + r2.uniform(10, 150, (p, 2))
+
+        ob, os_, oc, ov = fast_rcnn_inference(
+            jnp.asarray(logits),
+            jnp.asarray(deltas),
+            jnp.asarray(props),
+            jnp.ones((p,), bool),
+            jnp.asarray([h, w], jnp.int32),
+            num_classes=k,
+            score_thresh=0.05,
+            nms_thresh=0.5,
+            topk_per_image=20,
+            candidate_topk=p * k,  # budget covers everything
+        )
+        nv = int(np.asarray(ov).sum())
+        rb, rs, rc = _d2_fast_rcnn_inference_mirror(
+            logits, deltas, props, (h, w), k, 0.05, 0.5, 20
+        )
+        assert nv == len(rb), (seed, nv, len(rb))
+        np.testing.assert_allclose(
+            np.asarray(os_)[:nv], rs, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(oc)[:nv], rc)
+        np.testing.assert_allclose(
+            np.asarray(ob)[:nv], rb, rtol=1e-4, atol=1e-3
+        )
+        assert nv > 0
