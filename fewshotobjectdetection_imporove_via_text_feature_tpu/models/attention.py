@@ -156,6 +156,10 @@ class LVAttention(nn.Module):
         value = nn.Dense(self.input_size, name="proj_k")(
             jnp.concatenate([visual_feat, text_feat], axis=-1)
         )
+        # the returned text_feat is the PRE-relu gathered projection (the
+        # reference's output dict holds the tensor captured before the
+        # non-inplace relu, LV_attention.forward_language_model :386-407)
+        text_feat_out = text_feat
         text_feat = nn.relu(text_feat)
         value = nn.relu(value)
 
@@ -164,7 +168,7 @@ class LVAttention(nn.Module):
             self.input_size, name="attention"
         )(q, text_feat[None], value[None])
         sim2stext = nn.relu(sim2stext[0])
-        return {}, {"sim2stext": sim2stext, "text_feat": text_feat}
+        return {}, {"sim2stext": sim2stext, "text_feat": text_feat_out}
 
 
 class LVAttentionTextDomination(nn.Module):
@@ -193,6 +197,7 @@ class LVAttentionTextDomination(nn.Module):
         value = nn.Dense(text_dim, name="proj_value")(
             jnp.concatenate([vis_t, text_feat], axis=-1)
         )
+        text_feat_out = text_feat  # pre-relu, like the reference dict
         text_feat = nn.relu(text_feat)
         value = nn.relu(value)
 
@@ -202,7 +207,7 @@ class LVAttentionTextDomination(nn.Module):
         )(q, text_feat[None], value[None])
         sim2stext = nn.relu(sim2stext[0])
         sim2stext = nn.Dense(self.input_size, name="proj2")(sim2stext)
-        return {}, {"sim2stext": sim2stext, "text_feat": text_feat}
+        return {}, {"sim2stext": sim2stext, "text_feat": text_feat_out}
 
 
 def loss_fn_kd_only(

@@ -780,3 +780,111 @@ def test_feature_generator_matches_reference_deterministic():
         np.asarray(out), _t(out_ref), rtol=1e-4, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(lab), _t(lab_ref))
+
+
+@needs_ref
+@pytest.mark.parametrize("vkv", [False, True])
+def test_lv_textdomination_matches_reference(vkv):
+    """Text-space attention (LV_attention_textDomination{,_VKV},
+    attentive_modules.py:490-686): attention carried in the 300-d text
+    space, vis projected in, output projected back."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+        LVAttentionTextDomination,
+    )
+
+    words = {}
+
+    class StubGloVe:
+        def __init__(self, name="6B", dim=300):
+            self.dim = dim
+
+        def __getitem__(self, word):
+            if word not in words:
+                r = np.random.RandomState(abs(hash(word)) % (2**31))
+                words[word] = torch.from_numpy(
+                    r.randn(self.dim).astype(np.float32)
+                )
+            return words[word]
+
+    classes = ["cat", "dog", "diningtable", "pottedplant", "tvmonitor"]
+
+    class StubMeta:
+        @staticmethod
+        def get(name):
+            m = types.SimpleNamespace()
+            m.base_classes = classes
+            return m
+
+    cfg = types.SimpleNamespace(
+        DATASETS=types.SimpleNamespace(TRAIN=("voc_2007_trainval_base1",)),
+        MODEL=types.SimpleNamespace(
+            ROI_HEADS=types.SimpleNamespace(
+                DISTILLATE=False,
+                STUDENT_TRAINING=False,
+                TEACHER_TRAINING=True,
+            )
+        ),
+    )
+
+    src = open(os.path.join(REF, "attentive_modules.py")).read()
+    start = src.index("class ScaledDotProductAttention")
+    segment = src[start:]
+    segment = segment.replace("'cuda'", "'cpu'").replace(".cuda()", ".cpu()")
+    ip_start = src.index("def _init_parameters")
+    ip_end = src.index("class", ip_start)
+    import torch.nn.functional as F
+    from torch import nn
+
+    ns = {
+        "torch": torch, "nn": nn, "F": F, "np": np,
+        "GloVe": StubGloVe, "MetadataCatalog": StubMeta,
+    }
+    exec(compile(src[ip_start:ip_end], "ref_init_parameters", "exec"), ns)
+    exec(compile(segment, "ref_attentive_modules", "exec"), ns)
+
+    torch.manual_seed(0)
+    d = 32
+    cls_name = (
+        "LV_attention_textDomination_VKV" if vkv
+        else "LV_attention_textDomination"
+    )
+    ref = ns[cls_name](d, cfg=cfg)
+    ref.eval()
+
+    n = 7
+    rng = np.random.RandomState(2)
+    vis = rng.randn(n, d).astype(np.float32)
+    labels = np.array([0, 1, 2, 3, 4, 5, 5])
+    with torch.no_grad():
+        _, out_ref = ref(
+            torch.from_numpy(vis), torch.from_numpy(labels).long()
+        )
+
+    ours = LVAttentionTextDomination(
+        input_size=d, class_embed=_t(ref.embed), text_dim=300, vkv=vkv
+    )
+    params = {
+        "params": {
+            "w_bg": _t(ref.w_bg),
+            "proj_visual": {
+                "kernel": _t(ref.proj_visual.weight).T,
+                "bias": _t(ref.proj_visual.bias),
+            },
+            "proj_value": {
+                "kernel": _t(ref.proj_value.weight).T,
+                "bias": _t(ref.proj_value.bias),
+            },
+            "proj2": {
+                "kernel": _t(ref.proj2.weight).T,
+                "bias": _t(ref.proj2.bias),
+            },
+            "attention": _siamese_params_from_torch(ref.attention),
+        }
+    }
+    _, out = ours.apply(params, jnp.asarray(vis), jnp.asarray(labels))
+    np.testing.assert_allclose(
+        np.asarray(out["sim2stext"]),
+        _t(out_ref["sim2stext"][0]),
+        rtol=0,
+        atol=3e-3,
+    )
