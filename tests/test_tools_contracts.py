@@ -1,0 +1,105 @@
+"""Unit contracts for the workflow tools the run scripts depend on:
+tools/create_config.py (string-templated per-(shot, seed, split) configs,
+ref tools/create_config.py:30-58) and tools/extract_results.py (copypaste
+scrape -> mean ± 1.96·σ/√n table, ref tools/extract_results.py:8-58).
+Previously only exercised through the end-to-end smokes."""
+
+import math
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd=ROOT):
+    proc = subprocess.run(
+        [sys.executable] + args, cwd=cwd, capture_output=True, text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    return proc.stdout
+
+
+def test_create_config_voc_gfsod(tmp_path):
+    cfg_root = tmp_path / "voc"
+    cfg_root.mkdir()
+    for tpl in (
+        "defrcn_gfsod_r101_novelx_10shot_seedx.yaml",
+        "Base-RCNN.yaml",
+    ):
+        src = os.path.join(
+            ROOT, "configs", "voc" if "novelx" in tpl else "", tpl
+        )
+        if os.path.exists(src):
+            shutil.copy(src, cfg_root / tpl)
+    _run([
+        "tools/create_config.py", "--dataset", "voc",
+        "--config_root", str(cfg_root), "--shot", "10", "--seed", "3",
+        "--setting", "gfsod", "--split", "2",
+    ])
+    out = cfg_root / "defrcn_gfsod_r101_novel2_10shot_seed3.yaml"
+    assert out.exists()
+    text = out.read_text()
+    assert 'TRAIN: ("voc_2007_trainval_all2_10shot_seed3", )' in text
+    assert 'TEST: ("voc_2007_test_all2",)' in text
+    # fsod flavor names the novel split instead
+    _run([
+        "tools/create_config.py", "--dataset", "voc",
+        "--config_root", str(cfg_root), "--shot", "10", "--seed", "0",
+        "--setting", "fsod", "--split", "2",
+    ]) if (cfg_root / "defrcn_fsod_r101_novelx_10shot_seedx.yaml").exists() \
+        else shutil.copy(
+            os.path.join(
+                ROOT, "configs/voc/defrcn_fsod_r101_novelx_10shot_seedx.yaml"
+            ),
+            cfg_root / "defrcn_fsod_r101_novelx_10shot_seedx.yaml",
+        )
+    _run([
+        "tools/create_config.py", "--dataset", "voc",
+        "--config_root", str(cfg_root), "--shot", "10", "--seed", "0",
+        "--setting", "fsod", "--split", "2",
+    ])
+    text = (cfg_root / "defrcn_fsod_r101_novel2_10shot_seed0.yaml").read_text()
+    assert 'TRAIN: ("voc_2007_trainval_novel2_10shot_seed0", )' in text
+    assert 'TEST: ("voc_2007_test_novel2",)' in text
+
+
+def test_extract_results_aggregates_copypaste(tmp_path):
+    header = "AP,AP50,AP75,bAP50,nAP50"
+    vals = {
+        0: [40.0, 60.0, 44.0, 65.0, 50.0],
+        1: [42.0, 62.0, 46.0, 67.0, 54.0],
+        2: [44.0, 64.0, 48.0, 69.0, 58.0],
+    }
+    for seed, v in vals.items():
+        d = tmp_path / f"10shot_seed{seed}"
+        d.mkdir()
+        (d / "log.txt").write_text(
+            "noise line\n"
+            f"... copypaste: {header}\n"
+            f"... copypaste: {','.join(str(x) for x in v)}\n"
+        )
+    # a 1-shot run dir must NOT leak into the 10-shot table
+    other = tmp_path / "1shot_seed0"
+    other.mkdir()
+    (other / "log.txt").write_text(
+        f"copypaste: {header}\ncopypaste: 1,1,1,1,1\n"
+    )
+
+    _run([
+        "tools/extract_results.py", "--res-dir", str(tmp_path),
+        "--shot-list", "10",
+    ])
+    table = (tmp_path / "results.txt").read_text()
+    arr = np.array(list(vals.values()))
+    mean = arr.mean(axis=0)
+    ci = 1.96 * arr.std(axis=0) / math.sqrt(3)
+    assert "--> 10-shot" in table
+    assert "nAP50" in table
+    assert f"{mean[4]:.2f}" in table  # 54.00
+    assert f"{ci[4]:.2f}" in table
+    assert "1.00" not in table  # 1-shot rows excluded
