@@ -41,6 +41,16 @@ def get_class_name(cfg):
     return classes
 
 
+def get_class_name_test(cfg):
+    """Always-ALL-categories variant (ref class_name.py:26-29; only
+    referenced from commented-out reference code, kept for API parity).
+    NOTE: faithfully reproduces the reference's parse, which reads the
+    split id from the LAST token — correct only for non-seed dataset
+    names (e.g. voc_2007_test_all1)."""
+    dataset = cfg.DATASETS.TRAIN[0]
+    return PASCAL_VOC_ALL_CATEGORIES[int(dataset.split("_")[-1][-1])]
+
+
 # GloVe word mapping for VOC class tokens (ref attentive_modules.py:352).
 VOC_GLOVE_NAME_MAP = {
     "aeroplane": "aeroplane", "bicycle": "bicycle", "boat": "boat",
