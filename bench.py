@@ -117,7 +117,7 @@ def make_gt(batch, g=16, seed=1):
     )
 
 
-def bench_train(model):
+def bench_train(model, watchdog=None):
     """Train-step throughput (fwd+bwd+SGD, batch 16) + program FLOPs.
 
     Protocol (NOTES.md relay traps): chain N donated steps whose param
@@ -201,12 +201,58 @@ def bench_train(model):
             )
         np.asarray(losses["total_loss"])  # forces the whole chain
         dt = min(dt, (time.perf_counter() - t0) / len(ims))
+        if watchdog is not None:
+            watchdog.beat()
     return batch / dt, flops
+
+
+class _Watchdog:
+    """The time-shared TPU relay can become globally unresponsive (a
+    trivial matmul was observed to block >2 min); a hung bench leaves the
+    driver with NO artifact. If no progress beat arrives within
+    ``timeout_s``, emit an honest error record and exit nonzero."""
+
+    def __init__(self, timeout_s: float = 1500.0):
+        import threading
+
+        self.timeout_s = timeout_s
+        self._last = time.monotonic()
+        self._done = threading.Event()
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def beat(self):
+        self._last = time.monotonic()
+
+    def disarm(self):
+        self._done.set()
+
+    def _run(self):
+        import os
+
+        while not self._done.wait(30.0):
+            stalled = time.monotonic() - self._last
+            if stalled > self.timeout_s:
+                print(
+                    json.dumps(
+                        {
+                            "metric": "r101_c4_inference_throughput_800x1344",
+                            "value": None,
+                            "unit": "images/sec/chip",
+                            "vs_baseline": None,
+                            "error": (
+                                f"TPU relay unresponsive for {stalled:.0f}s"
+                            ),
+                        }
+                    ),
+                    flush=True,
+                )
+                os._exit(3)
 
 
 def main(cpu_baseline: bool = False):
     import os
 
+    watchdog = None if cpu_baseline else _Watchdog()
     batch = 1 if cpu_baseline else BATCH
     model = build()
     images = make_inputs(batch)
@@ -247,6 +293,8 @@ def main(cpu_baseline: bool = False):
         apply_fn = jax.jit(lambda v, i: model.apply(v, i, train=False))
         out = jax.block_until_ready(apply_fn(variables, images))
     jax.block_until_ready(apply_fn(variables, images))
+    if watchdog is not None:
+        watchdog.beat()
 
     # The TPU behind the tunnel is time-shared with other tenants and
     # shows multi-second contention stalls; the MIN per-iteration time is
@@ -317,6 +365,8 @@ def main(cpu_baseline: bool = False):
         for out in outs:
             np.asarray(out.scores)
         dt = min(dt, (time.perf_counter() - t0) / len(ims))
+        if watchdog is not None:
+            watchdog.beat()
     ips = batch / dt
 
     if cpu_baseline:
@@ -333,7 +383,7 @@ def main(cpu_baseline: bool = False):
 
     train_ips = train_mfu = train_flops = None
     try:
-        train_ips, train_flops = bench_train(model)
+        train_ips, train_flops = bench_train(model, watchdog)
         if train_flops:
             train_mfu = (train_flops / TRAIN_BATCH) * train_ips / peak
     except Exception as e:  # never lose the inference line to a train fault
@@ -366,6 +416,8 @@ def main(cpu_baseline: bool = False):
         ),
         "peak_flops": peak,
     }
+    if watchdog is not None:
+        watchdog.disarm()
     print(json.dumps(rec))
 
 
