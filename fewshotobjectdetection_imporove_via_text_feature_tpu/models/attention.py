@@ -10,7 +10,12 @@ Spec source: defrcn/modeling/roi_heads/attentive_modules.py —
     bank + orthogonal bg vector)); returns attention scores + sim2stext,
   * LV_attention (:297-437): teacher-forcing — per-ROI text feature is the
     one-hot(gt)-indexed projected embedding; V = proj(cat(vis, text)),
-  * LV_attention_VKV (:440-487): q = v variant,
+  * LV_attention_VKV (:440-487): q = v variant. NOTE the reference's
+    forward is unrunnable as committed: it calls
+    ``self.forward_language_model(visual_feat, text)`` but inherits
+    LV_attention's single-argument ``forward_language_model(label)``
+    (:382), a guaranteed TypeError — we implement the evident intent
+    (same pipeline, q = value),
   * LV_attention_textDomination{,_VKV} (:490-687): attention carried in
     text space (vis projected C->300, output projected back 300->C).
 
