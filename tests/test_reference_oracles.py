@@ -352,7 +352,7 @@ def test_sematic_proposal_attention_matches_reference():
 
 @needs_ref
 @pytest.mark.parametrize("method", ["approx", "full", "block"])
-@pytest.mark.parametrize("logspace", [False])
+@pytest.mark.parametrize("logspace", [False, True])
 def test_optimal_transport_matches_reference_backward(method, logspace):
     """Forward P and backward dJ/dM, dJ/dr, dJ/dc vs the reference's
     OptimalTransportFcn (exec'd my_module.py) on the same inputs. The
