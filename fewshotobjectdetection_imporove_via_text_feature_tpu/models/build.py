@@ -59,6 +59,7 @@ def _common_kwargs(cfg):
         roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         roi_iou_threshold=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
+        proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
         roi_chunk=cfg.TPU.ROI_CHUNK,
         box_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
         smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,

@@ -84,6 +84,7 @@ class GeneralizedRCNN(nn.Module):
     roi_batch_per_image: int = 512
     roi_positive_fraction: float = 0.25
     roi_iou_threshold: float = 0.5
+    proposal_append_gt: bool = True  # cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT
     roi_chunk: int = 256
     box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     smooth_l1_beta: float = 0.0
@@ -311,6 +312,7 @@ class GeneralizedRCNN(nn.Module):
                 positive_fraction=self.roi_positive_fraction,
                 num_classes=self.num_classes,
                 iou_threshold=self.roi_iou_threshold,
+                append_gt=self.proposal_append_gt,
             )
         )(roi_keys, proposals, gt)
 

@@ -345,6 +345,7 @@ class GeneralizedSemanticRCNN(GeneralizedRCNN):
                 positive_fraction=self.roi_positive_fraction,
                 num_classes=self.num_classes,
                 iou_threshold=self.roi_iou_threshold,
+                append_gt=self.proposal_append_gt,
             )
         )(roi_keys, proposals, gt)
         losses.update(self.roi_losses(feat_rcnn, sampled))
