@@ -53,7 +53,12 @@ def setup(args):
         cfg.merge_from_file(args.config_file)
     if args.opts:
         cfg.merge_from_list(args.opts)
-    # EVAL_PERIOD heuristic (ref main.py:81-82)
+    # EVAL_PERIOD heuristics. Ref main.py:81-82 rewrites an explicit 1000
+    # to MAX_ITER//3 + 100 (precedence: the whole sum is the if-branch);
+    # the committed configs never set the key, so the d2 default 0 flows
+    # through, which we additionally map to eval-at-end.
+    if cfg.TEST.EVAL_PERIOD == 1000:
+        cfg.TEST.EVAL_PERIOD = cfg.SOLVER.MAX_ITER // 3 + 100
     if cfg.TEST.EVAL_PERIOD == 0 and cfg.SOLVER.MAX_ITER > 0:
         cfg.TEST.EVAL_PERIOD = cfg.SOLVER.MAX_ITER
     set_global_cfg(cfg)

@@ -129,3 +129,44 @@ def test_sample_proposals_scarce_bg():
     # 4 fg + 4 bg eligible -> 8 valid slots
     assert valid.sum() == 8
     assert (np.asarray(gt_classes)[idx[valid]] != -1).all()
+
+
+def test_label_and_sample_append_gt_knob():
+    """append_gt=False (cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT) must
+    actually change sampling: with a GT-free proposal set and IoU-poor
+    proposals, append_gt=True yields fg samples (the appended GT matches
+    itself), append_gt=False yields none."""
+    import jax
+    import jax.numpy as jnp
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.roi_heads import (
+        label_and_sample_proposals,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        GTInstances,
+        Proposals,
+    )
+
+    props = Proposals(
+        boxes=jnp.asarray([[200.0, 200, 240, 240], [300.0, 300, 350, 350]]),
+        objectness=jnp.zeros((2,)),
+        valid=jnp.ones((2,), bool),
+    )
+    gt = GTInstances(
+        boxes=jnp.asarray([[10.0, 10, 50, 50]]),
+        classes=jnp.asarray([3], jnp.int32),
+        valid=jnp.ones((1,), bool),
+    )
+    key = jax.random.PRNGKey(0)
+    with_gt = label_and_sample_proposals(
+        key, props, gt, batch_size_per_image=4, num_classes=15,
+        append_gt=True,
+    )
+    without = label_and_sample_proposals(
+        key, props, gt, batch_size_per_image=4, num_classes=15,
+        append_gt=False,
+    )
+    fg_with = int(((with_gt["gt_classes"] == 3) & with_gt["valid"]).sum())
+    fg_without = int(((without["gt_classes"] == 3) & without["valid"]).sum())
+    assert fg_with >= 1
+    assert fg_without == 0
