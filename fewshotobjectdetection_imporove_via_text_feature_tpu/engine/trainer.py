@@ -53,7 +53,14 @@ def make_train_step(model, tx, preprocess=None):
             {"params": params}, images, gt, train=True,
             rngs={"sampling": srng, "dropout": drng},
         )
-        return sum(losses.values()), losses
+        # "metric/" entries are stop-gradient training diagnostics
+        # (cls accuracy, fg/bg counts, anchor stats — the reference's
+        # EventStorage scalars); they ride along for logging but are NOT
+        # part of the optimized objective.
+        total = sum(
+            v for k, v in losses.items() if not k.startswith("metric/")
+        )
+        return total, losses
 
     def train_step(params, opt_state, images, gt, rng, step):
         step_rng = jax.random.fold_in(rng, step)

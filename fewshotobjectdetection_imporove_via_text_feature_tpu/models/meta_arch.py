@@ -301,6 +301,15 @@ class GeneralizedRCNN(nn.Module):
             batch_size_per_image=self.rpn_batch_per_image,
             smooth_l1_beta=0.0,
         )
+        # Training diagnostics the reference puts into EventStorage
+        # (rpn.py:360-365). "metric/" keys are excluded from total_loss by
+        # the trainer and carry no gradient.
+        losses["metric/rpn_num_pos_anchors"] = jax.lax.stop_gradient(
+            jnp.sum(gt_labels == 1) / b
+        )
+        losses["metric/rpn_num_neg_anchors"] = jax.lax.stop_gradient(
+            jnp.sum(gt_labels == 0) / b
+        )
 
         # --- ROI sampling (vmapped) ---
         roi_key = anchor_keys[0]
@@ -342,6 +351,33 @@ class GeneralizedRCNN(nn.Module):
             )
 
         losses = det_losses(scores, deltas)
+        # Diagnostics the reference logs from FastRCNNOutputs._log_accuracy
+        # (fast_rcnn.py:195-221) and label_and_sample_proposals
+        # (roi_heads.py:240-248); masked fixed-shape equivalents.
+        b = sampled["valid"].shape[0]
+        pred = jnp.argmax(scores, axis=1)
+        bg = self.num_classes
+        fg = valid & (gt_classes >= 0) & (gt_classes < bg)
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        n_fg = jnp.sum(fg)
+        metrics = {
+            "metric/cls_accuracy": jnp.sum(
+                valid & (pred == gt_classes)
+            ) / n_valid,
+            "metric/fg_cls_accuracy": jnp.sum(
+                fg & (pred == gt_classes)
+            ) / jnp.maximum(n_fg, 1),
+            "metric/false_negative": jnp.sum(
+                fg & (pred == bg)
+            ) / jnp.maximum(n_fg, 1),
+            "metric/roi_num_fg_samples": n_fg / b,
+            "metric/roi_num_bg_samples": jnp.sum(
+                valid & (gt_classes == bg)
+            ) / b,
+        }
+        losses.update(
+            {k: jax.lax.stop_gradient(v) for k, v in metrics.items()}
+        )
         # teacher branch: its own detection losses with the _t suffix
         # (ref roi_heads.py:818-826)
         if "teacher_scores" in aux:

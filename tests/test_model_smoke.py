@@ -73,15 +73,28 @@ def test_train_losses_finite(model_and_params):
     losses = jax.jit(functools.partial(model.apply, train=True))(
         params, images, gt, rngs={"sampling": jax.random.PRNGKey(2)}
     )
-    assert set(losses) == {
+    loss_keys = {k for k in losses if not k.startswith("metric/")}
+    assert loss_keys == {
         "loss_rpn_cls",
         "loss_rpn_loc",
         "loss_cls",
         "loss_box_reg",
     }
+    # EventStorage-style diagnostics ride along under metric/ (stop-grad)
+    assert {
+        "metric/cls_accuracy",
+        "metric/fg_cls_accuracy",
+        "metric/false_negative",
+        "metric/roi_num_fg_samples",
+        "metric/roi_num_bg_samples",
+        "metric/rpn_num_pos_anchors",
+        "metric/rpn_num_neg_anchors",
+    } <= set(losses)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert float(losses["loss_cls"]) > 0
+    assert 0.0 <= float(losses["metric/cls_accuracy"]) <= 1.0
+    assert float(losses["metric/rpn_num_pos_anchors"]) > 0
 
 
 def test_grads_flow_and_gdl_blocks_rpn(model_and_params):
