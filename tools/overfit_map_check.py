@@ -55,7 +55,7 @@ def make_visual_voc(root, n=6):
     return d
 
 
-def main(production=False):
+def main(production=False, head=None):
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         DatasetCatalog,
     )
@@ -76,7 +76,7 @@ def main(production=False):
     root = tempfile.mkdtemp()
     d = make_visual_voc(root)
     meta = _get_builtin_metadata("voc_fewshot")
-    for split in ("mapof_train", "mapof_test"):
+    for split in ("voc_mapof_all1_t_train", "voc_mapof_all1_t_test"):
         register_meta_voc(
             split, meta, d, "trainval", 2007, "base_novel_1", 1, root=root
         )
@@ -124,10 +124,21 @@ def main(production=False):
         cfg.SOLVER.STEPS = (380, 450)
         cfg.SOLVER.BASE_LR = 0.02
         cfg.SOLVER.WARMUP_ITERS = 50
+    if head:
+        # text/semantic branch overfit: the flagship contribution trained
+        # and evaluated end to end (teacher + student + distillation; the
+        # class-embedding bank resolves to the deterministic synthetic
+        # fallback, exactly like the CLI without datasets/glove).
+        cfg.MODEL.ROI_HEADS.NAME = head
+        cfg.MODEL.ADDITION.NAME = "glove"
+        cfg.MODEL.ROI_HEADS.TEACHER_TRAINING = True
+        cfg.MODEL.ROI_HEADS.STUDENT_TRAINING = True
+        cfg.MODEL.ROI_HEADS.DISTILLATE = True
+        cfg.MODEL.ROI_HEADS.KL_TEMP = 5.0
     cfg.SOLVER.CHECKPOINT_PERIOD = 0
     cfg.TEST.EVAL_PERIOD = 0
-    cfg.DATASETS.TRAIN = ("mapof_train",)
-    cfg.DATASETS.TEST = ("mapof_test",)
+    cfg.DATASETS.TRAIN = ("voc_mapof_all1_t_train",)
+    cfg.DATASETS.TEST = ("voc_mapof_all1_t_test",)
     cfg.OUTPUT_DIR = os.path.join(root, "out")
     cfg.SEED = 11
 
@@ -135,7 +146,7 @@ def main(production=False):
     tr = Trainer(cfg)
     tr.train()
     res = cli.do_test(cfg, params=tr.params, model=tr.model)
-    ap50 = res["mapof_test"]["bbox"]["AP50"]
+    ap50 = res["voc_mapof_all1_t_test"]["bbox"]["AP50"]
     # VOC AP averages over ALL 20 classes; only 3 exist here, so a perfect
     # detector scores exactly 3/20*100 = 15.0. The sharp check is recall:
     # every GT object must be matched at IoU>0.5 by a same-class detection.
@@ -150,7 +161,7 @@ def main(production=False):
         MetadataCatalog,
     )
 
-    classes = MetadataCatalog.get("mapof_test").thing_classes
+    classes = MetadataCatalog.get("voc_mapof_all1_t_test").thing_classes
     name_to_id = {n: i for i, n in enumerate(classes)}
     total = hit = 0
     for fid in sorted({dd["image_id"] for dd in dets}):
@@ -187,4 +198,7 @@ def main(production=False):
 if __name__ == "__main__":
     import sys
 
-    main(production="--production" in sys.argv)
+    head = None
+    if "--head" in sys.argv:
+        head = sys.argv[sys.argv.index("--head") + 1]
+    main(production="--production" in sys.argv, head=head)
