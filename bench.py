@@ -212,10 +212,14 @@ class _Watchdog:
     driver with NO artifact. If no progress beat arrives within
     ``timeout_s``, emit an honest error record and exit nonzero."""
 
-    def __init__(self, timeout_s: float = 1500.0):
+    def __init__(self, timeout_s: float = None):
+        import os
         import threading
 
+        if timeout_s is None:
+            timeout_s = float(os.environ.get("FSODTF_BENCH_WATCHDOG_S", 1500))
         self.timeout_s = timeout_s
+        self._poll_s = min(30.0, max(timeout_s / 2.0, 0.05))
         self._last = time.monotonic()
         self._done = threading.Event()
         threading.Thread(target=self._run, daemon=True).start()
@@ -229,7 +233,7 @@ class _Watchdog:
     def _run(self):
         import os
 
-        while not self._done.wait(30.0):
+        while not self._done.wait(self._poll_s):
             stalled = time.monotonic() - self._last
             if stalled > self.timeout_s:
                 print(

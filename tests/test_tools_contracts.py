@@ -103,3 +103,42 @@ def test_extract_results_aggregates_copypaste(tmp_path):
     assert f"{mean[4]:.2f}" in table  # 54.00
     assert f"{ci[4]:.2f}" in table
     assert "1.00" not in table  # 1-shot rows excluded
+
+
+def test_bench_watchdog_fire_and_disarm():
+    """bench.py's relay watchdog: without progress beats it prints the
+    null-value error JSON and exits 3; with beats/disarm it stays silent."""
+    import json
+    import textwrap
+
+    code = textwrap.dedent("""
+        import json, time, sys
+        src = open(%r).read()
+        cls = src[src.index('class _Watchdog'):src.index('def main(')]
+        ns = {'json': json, 'time': time}
+        exec(cls, ns)
+        mode = sys.argv[1]
+        w = ns['_Watchdog'](timeout_s=0.2)
+        if mode == 'fire':
+            time.sleep(5)  # watchdog should _exit(3) long before this
+            print('not reached')
+        else:
+            for _ in range(6):
+                time.sleep(0.1)
+                w.beat()
+            w.disarm()
+            print('survived')
+    """) % (os.path.join(ROOT, "bench.py"),)
+    fire = subprocess.run(
+        [sys.executable, "-c", code, "fire"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert fire.returncode == 3, (fire.returncode, fire.stdout)
+    rec = json.loads(fire.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None and "unresponsive" in rec["error"]
+
+    ok = subprocess.run(
+        [sys.executable, "-c", code, "beat"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert ok.returncode == 0 and "survived" in ok.stdout
