@@ -77,6 +77,15 @@ def _common_kwargs(cfg):
         freeze_attention=cfg.MODEL.ADDITION.FREEZEATTENTION,
         l2_cosine=cfg.MODEL.ROI_HEADS.L2_COSINE,
         kl_temp=float(cfg.MODEL.ROI_HEADS.KL_TEMP),
+        # Distillation gates. The committed reference never assigns its
+        # flag attributes (roi_heads.py:545-553 all commented out — the
+        # class cannot even construct there); the run scripts define the
+        # intent: the L2 feature distill needs DISTILLATE AND L2
+        # (commented guard roi_heads.py:608), the KL logit distill rides
+        # DISTILLATE (run_text_train_teacher_novel.sh student stage sets
+        # DISTILLATE True + KL_TEMP with no L2).
+        distill_l2=(cfg.MODEL.ROI_HEADS.DISTILLATE and cfg.MODEL.ROI_HEADS.L2),
+        distill_kl=cfg.MODEL.ROI_HEADS.DISTILLATE,
         dtype=dtype,
         **_text_head_kwargs(cfg),
     )

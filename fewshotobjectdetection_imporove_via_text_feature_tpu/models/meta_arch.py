@@ -107,6 +107,9 @@ class GeneralizedRCNN(nn.Module):
     freeze_attention: bool = False
     l2_cosine: bool = False
     kl_temp: float = 1.0
+    # text-head distillation gates (see build.py: DISTILLATE/L2 flags)
+    distill_l2: bool = True
+    distill_kl: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -183,6 +186,8 @@ class GeneralizedRCNN(nn.Module):
                 attention_kind=text_kinds[name],
                 l2_cosine=self.l2_cosine,
                 kl_temp=self.kl_temp,
+                distill_l2=self.distill_l2,
+                distill_kl=self.distill_kl,
                 **common,
             )
         raise KeyError(f"Unknown ROI_HEADS.NAME {name!r}")

@@ -168,7 +168,13 @@ class TextRes5ROIHeads(Res5ROIHeads):
 
     class_embed: Any = None  # np (C, text_dim)
     attention_kind: str = "lv"  # lv | lv_vkv | text_dom | text_dom_vkv
+    # Distillation gates: the committed reference never assigns its flag
+    # attributes (roi_heads.py:545-553 commented out — the class cannot
+    # construct as committed); gating reconstructed from the run scripts +
+    # commented guards (see build.py). L2 feature distill = DISTILLATE and
+    # L2; KL logit distill = DISTILLATE.
     distill_l2: bool = True
+    distill_kl: bool = True
     l2_cosine: bool = False
     kl_temp: float = 1.0
 
@@ -258,14 +264,15 @@ class TextRes5ROIHeads(Res5ROIHeads):
         s_scores, s_deltas, s_losses = self.forward_student(
             feat, t_out, gt_classes, valid, train=True
         )
-        s_losses["loss_kl"] = loss_fn_kd_only(
-            s_scores,
-            gt_classes,
-            self.num_classes,
-            jax.lax.stop_gradient(t_scores),
-            temperature=self.kl_temp,
-            valid=valid,
-        )
+        if self.distill_kl:
+            s_losses["loss_kl"] = loss_fn_kd_only(
+                s_scores,
+                gt_classes,
+                self.num_classes,
+                jax.lax.stop_gradient(t_scores),
+                temperature=self.kl_temp,
+                valid=valid,
+            )
         return (
             s_scores,
             s_deltas,

@@ -49,6 +49,11 @@ TINY = [
     "TPU.MAX_DETECTIONS_PRE_NMS", "64",
     "TPU.COMPUTE_DTYPE", "float32",
     "DATASETS.TRAIN", "('voc_2007_trainval_base1',)",
+    # full distillation surface on (run_text_train_student.sh flags);
+    # only the text heads read these
+    "MODEL.ROI_HEADS.DISTILLATE", "True",
+    "MODEL.ROI_HEADS.L2", "True",
+    "MODEL.ROI_HEADS.KL", "True",
 ]
 
 COMBOS = [

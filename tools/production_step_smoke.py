@@ -31,7 +31,8 @@ FAMILIES = {
     "flagship": dict(meta="GeneralizedRCNN", head="Res5ROIHeads"),
     "text": dict(
         meta="GeneralizedRCNN", head="TextRes5ROIHeads",
-        opts=dict(TEACHER_TRAINING=True, STUDENT_TRAINING=True, DISTILLATE=True),
+        opts=dict(TEACHER_TRAINING=True, STUDENT_TRAINING=True,
+                  DISTILLATE=True, L2=True, KL=True),
     ),
     "semantic": dict(
         meta="GeneralizedRCNN", head="SematicRes5ROIHeadsCrossOutput",
