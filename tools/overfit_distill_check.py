@@ -1,0 +1,257 @@
+# Two-stage teacher->student distillation overfit check.
+#
+# The reference's distillation recipe (run_text_train_Student.sh:26-33,
+# commented-out "train student model" block + run_text_train_teacher.sh)
+# distills FROM A TRAINED TEACHER: a base-trained checkpoint initializes the
+# model, then TEACHER_TRAINING+STUDENT_TRAINING+DISTILLATE+L2+KL all train
+# together. Joint distillation from scratch does not converge (NOTES.md
+# round-2 log) -- that is a property of the method, not a bug.
+#
+# This tool validates the full two-stage pipeline end to end on the visual
+# overfit set (tools/overfit_map_check.py's colored-rectangle VOC data):
+#
+#   stage 1  TextRes5ROIHeads, DISTILLATE False: teacher (teacher-forced LV
+#            attention) and student both CE-train to convergence ->
+#            model_final.ckpt.
+#   stage 2  fresh Trainer, MODEL.WEIGHTS = stage-1 ckpt (exercising the
+#            checkpoint import path), then the student branch
+#            (stu_box_predictor + mlp_adapter) is RE-RANDOMIZED and training
+#            resumes with DISTILLATE True, L2 True, KL on (the reference's
+#            distillation combo). The re-randomized student must re-converge
+#            under CE + KL(teacher logits, T^2-scaled) + L2 feature pull,
+#            and the KL/L2 losses must shrink -- proving the distillation
+#            losses steer a cold student toward a trained teacher.
+#
+# Inference runs the student path (the reference's usable branch), so the
+# final recall/AP measure the DISTILLED STUDENT, not the teacher.
+#
+# Run on CPU (tiny model, default) or --production for R-101 on TPU.
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import numpy as np
+
+from overfit_map_check import make_visual_voc
+
+
+def _tiny_cfg(cfg):
+    cfg.MODEL.RESNETS.DEPTH = 14
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.WIDTH_PER_GROUP = 4
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 256
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.TPU.IMAGE_BUCKETS = ((256, 384),)
+    cfg.TPU.MAX_GT = 10
+    cfg.TPU.MAX_DETECTIONS_PRE_NMS = 128
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.INPUT.MIN_SIZE_TRAIN = (256,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 384
+    cfg.INPUT.MIN_SIZE_TEST = 256
+    cfg.INPUT.MAX_SIZE_TEST = 384
+
+
+def _production_cfg(cfg):
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.TPU.IMAGE_BUCKETS = ((800, 1344),)
+    cfg.INPUT.MIN_SIZE_TRAIN = (800,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 1333
+    cfg.INPUT.MIN_SIZE_TEST = 800
+    cfg.INPUT.MAX_SIZE_TEST = 1333
+
+
+def _base_cfg(get_cfg, production):
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 20
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    cfg.MODEL.ROI_HEADS.NAME = "TextRes5ROIHeads"
+    cfg.MODEL.ADDITION.NAME = "glove"
+    cfg.MODEL.ROI_HEADS.TEACHER_TRAINING = True
+    cfg.MODEL.ROI_HEADS.STUDENT_TRAINING = True
+    cfg.MODEL.ROI_HEADS.KL_TEMP = 5
+    (_production_cfg if production else _tiny_cfg)(cfg)
+    cfg.SOLVER.IMS_PER_BATCH = 6
+    cfg.SOLVER.BASE_LR = 0.01 if production else 0.02
+    cfg.SOLVER.WARMUP_ITERS = 50
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.DATASETS.TRAIN = ("voc_distof_all1_t_train",)
+    cfg.DATASETS.TEST = ("voc_distof_all1_t_test",)
+    cfg.SEED = 11
+    return cfg
+
+
+def _rerandomize_student(params, rng_seed=123):
+    """Replace the student branch (stu_box_predictor + mlp_adapter) with
+    fresh random values, keeping every other tensor (teacher, backbone, RPN)
+    from the loaded checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    key = jax.random.PRNGKey(rng_seed)
+    new_leaves = []
+    n_reset = 0
+    for path, leaf in flat:
+        names = "/".join(getattr(p, "key", str(p)) for p in path)
+        if "stu_box_predictor" in names or "mlp_adapter" in names:
+            key, sub = jax.random.split(key)
+            if leaf.ndim >= 2:  # kernels: lecun-normal-ish
+                fan_in = int(np.prod(leaf.shape[:-1]))
+                leaf = jax.random.normal(sub, leaf.shape, leaf.dtype) / np.sqrt(
+                    max(fan_in, 1)
+                )
+            else:  # biases
+                leaf = jnp.zeros_like(leaf)
+            n_reset += 1
+        new_leaves.append(leaf)
+    assert n_reset >= 6, f"student subtree not found (reset {n_reset} leaves)"
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), n_reset
+
+
+def main(production=False):
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.builtin_meta import (
+        _get_builtin_metadata,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.meta_voc import (
+        register_meta_voc,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.parallel import (
+        replicate,
+    )
+    import main as cli
+
+    root = tempfile.mkdtemp()
+    d = make_visual_voc(root)
+    meta = _get_builtin_metadata("voc_fewshot")
+    for split in ("voc_distof_all1_t_train", "voc_distof_all1_t_test"):
+        register_meta_voc(
+            split, meta, d, "trainval", 2007, "base_novel_1", 1, root=root
+        )
+
+    t0 = time.time()
+
+    # ---- stage 1: converge the teacher (and a CE student) ----
+    cfg1 = _base_cfg(get_cfg, production)
+    cfg1.MODEL.ROI_HEADS.DISTILLATE = False
+    cfg1.SOLVER.MAX_ITER = 300 if production else 400
+    cfg1.SOLVER.STEPS = (
+        (220, 270) if production else (300, 360)
+    )
+    cfg1.OUTPUT_DIR = os.path.join(root, "stage1")
+    tr1 = Trainer(cfg1)
+    tr1.train()
+    ckpt = os.path.join(cfg1.OUTPUT_DIR, "model_final.ckpt")
+    assert os.path.exists(ckpt), ckpt
+    print(f"[stage1] teacher trained, ckpt at {ckpt}  ({time.time()-t0:.0f}s)")
+
+    # ---- stage 2: cold student distills from the trained teacher ----
+    cfg2 = _base_cfg(get_cfg, production)
+    cfg2.MODEL.ROI_HEADS.DISTILLATE = True
+    cfg2.MODEL.ROI_HEADS.L2 = True
+    cfg2.MODEL.ROI_HEADS.KL = True
+    cfg2.MODEL.WEIGHTS = ckpt
+    # the cold student needs longer than stage 1: its ranking (AP) keeps
+    # calibrating well after recall saturates
+    cfg2.SOLVER.MAX_ITER = 400 if production else 700
+    cfg2.SOLVER.STEPS = (
+        (300, 360) if production else (520, 620)
+    )
+    cfg2.OUTPUT_DIR = os.path.join(root, "stage2")
+    tr2 = Trainer(cfg2)
+
+    import jax
+
+    host_params = jax.device_get(tr2.params)
+    host_params, n_reset = _rerandomize_student(host_params)
+    tr2.params = replicate(tr2.mesh, host_params)
+    # keep the freshly built opt_state (momentum zeros) -- stage 2 is a new
+    # training run, mirroring surgery's reset_optimizer semantics
+    print(f"[stage2] student branch re-randomized ({n_reset} tensors)")
+    tr2.train()
+
+    # distill-loss trajectory from the metrics log
+    import json
+
+    mpath = os.path.join(cfg2.OUTPUT_DIR, "metrics.json")
+    rows = [json.loads(l) for l in open(mpath)]
+    kl = [(r["iteration"], r["loss_kl"]) for r in rows if "loss_kl" in r]
+    l2 = [
+        (r["iteration"], r["loss_student_feat"])
+        for r in rows
+        if "loss_student_feat" in r
+    ]
+    head = lambda xs: np.mean([v for _, v in xs[:3]])
+    tail = lambda xs: np.mean([v for _, v in xs[-3:]])
+    print(
+        f"[stage2] loss_kl {head(kl):.4f} -> {tail(kl):.4f}; "
+        f"loss_student_feat {head(l2):.4f} -> {tail(l2):.4f}"
+    )
+
+    # evaluate: inference is the STUDENT path (no GT given)
+    res = cli.do_test(cfg2, params=tr2.params, model=tr2.model)
+    ap50 = res["voc_distof_all1_t_test"]["bbox"]["AP50"]
+
+    import xml.etree.ElementTree as ET
+
+    dets = json.load(
+        open(os.path.join(cfg2.OUTPUT_DIR, "coco_instances_results.json"))
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        MetadataCatalog,
+    )
+
+    classes = MetadataCatalog.get("voc_distof_all1_t_test").thing_classes
+    name_to_id = {n: i for i, n in enumerate(classes)}
+    total = hit = 0
+    for fid in sorted({dd["image_id"] for dd in dets}):
+        tree = ET.parse(os.path.join(d, "Annotations", f"{fid}.xml"))
+        for obj in tree.findall("object"):
+            total += 1
+            bb = obj.find("bndbox")
+            g = [
+                float(bb.find(t).text) - (1 if t in ("xmin", "ymin") else 0)
+                for t in ("xmin", "ymin", "xmax", "ymax")
+            ]
+            cid = name_to_id[obj.find("name").text]
+            for dd in dets:
+                if dd["image_id"] != fid or dd["category_id"] != cid:
+                    continue
+                x, y, w, h = dd["bbox"]
+                ix = max(0, min(g[2], x + w) - max(g[0], x))
+                iy = max(0, min(g[3], y + h) - max(g[1], y))
+                inter = ix * iy
+                union = (g[2] - g[0]) * (g[3] - g[1]) + w * h - inter
+                if inter / union > 0.5:
+                    hit += 1
+                    break
+    recall = hit / max(total, 1)
+    print(
+        f"wall {time.time()-t0:.0f}s  distilled-student AP50={ap50:.2f} "
+        f"(perfect = 15.0)  recall@0.5: {hit}/{total}"
+    )
+    assert tail(kl) < head(kl), "KL distillation loss did not decrease"
+    assert tail(l2) < head(l2), "L2 feature distillation loss did not decrease"
+    assert recall >= 0.9, f"distilled student recall too low: {recall}"
+    assert ap50 > 12.0, f"distilled student AP50 too low: {ap50}"
+    print("DISTILL OVERFIT CHECK PASSED")
+
+
+if __name__ == "__main__":
+    main(production="--production" in sys.argv)
