@@ -61,6 +61,9 @@ def _tiny_cfg(cfg):
 
 def _production_cfg(cfg):
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    # teacher+student dual heads + full-backbone grads at 800x1344 sit near
+    # the HBM ceiling on a time-shared chip: remat the backbone
+    cfg.TPU.REMAT_BACKBONE = True
     cfg.TPU.IMAGE_BUCKETS = ((800, 1344),)
     cfg.INPUT.MIN_SIZE_TRAIN = (800,)
     cfg.INPUT.MAX_SIZE_TRAIN = 1333
