@@ -222,10 +222,19 @@ class _Watchdog:
         self._poll_s = min(30.0, max(timeout_s / 2.0, 0.05))
         self._last = time.monotonic()
         self._done = threading.Event()
+        self._partial = None
         threading.Thread(target=self._run, daemon=True).start()
 
     def beat(self):
         self._last = time.monotonic()
+
+    def set_partial(self, rec: dict):
+        """Record an already-measured headline result: if a later phase
+        (MFU cost-analysis compile, train bench) hangs the relay, the
+        watchdog emits THIS record instead of a null artifact — the
+        headline inference metric must never be lost to a train fault."""
+        self._partial = dict(rec)
+        self.beat()
 
     def disarm(self):
         self._done.set()
@@ -236,6 +245,14 @@ class _Watchdog:
         while not self._done.wait(self._poll_s):
             stalled = time.monotonic() - self._last
             if stalled > self.timeout_s:
+                if self._partial is not None:
+                    rec = dict(self._partial)
+                    rec["error"] = (
+                        f"post-measurement phase (MFU/train) stalled "
+                        f"{stalled:.0f}s; headline metric already measured"
+                    )
+                    print(json.dumps(rec), flush=True)
+                    os._exit(0)
                 print(
                     json.dumps(
                         {
@@ -287,14 +304,24 @@ def main(cpu_baseline: bool = False):
     init = jax.jit(lambda r, i: model.init(r, i, train=False))
     variables = init({"params": jax.random.PRNGKey(0)}, images)
 
-    apply_fn = jax.jit(lambda v, i: model.apply(v, i, train=False))
+    # AOT-compile ONCE and reuse the executable for warmup, measurement,
+    # and cost_analysis — a fresh jit of the same program later would be a
+    # second multi-minute compile (and relay-hang surface) for no reason.
+    def _compile_apply():
+        return (
+            jax.jit(lambda v, i: model.apply(v, i, train=False))
+            .lower(variables, images)
+            .compile()
+        )
+
     # compile + warmup; if the Pallas NMS path ever fails to compile on
     # this backend, fall back to the XLA tiled NMS rather than dying
     try:
+        apply_fn = _compile_apply()
         out = jax.block_until_ready(apply_fn(variables, images))
     except Exception:
         os.environ["FSODTF_NMS"] = "xla"
-        apply_fn = jax.jit(lambda v, i: model.apply(v, i, train=False))
+        apply_fn = _compile_apply()
         out = jax.block_until_ready(apply_fn(variables, images))
     jax.block_until_ready(apply_fn(variables, images))
     if watchdog is not None:
@@ -378,11 +405,19 @@ def main(cpu_baseline: bool = False):
         return
 
     peak = _peak_flops()
-    inf_flops = _program_flops(
-        jax.jit(lambda v, i: model.apply(v, i, train=False))
-        .lower(variables, images)
-        .compile()
-    )
+    if watchdog is not None:
+        # from here on a relay stall must surface the measured result,
+        # not a null artifact
+        watchdog.set_partial(
+            {
+                "metric": "r101_c4_inference_throughput_800x1344",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
+                "inference_imgs_per_sec": round(ips, 3),
+            }
+        )
+    inf_flops = _program_flops(apply_fn)
     inf_mfu = (inf_flops / batch) * ips / peak if inf_flops else None
 
     train_ips = train_mfu = train_flops = None

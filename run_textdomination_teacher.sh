@@ -32,5 +32,5 @@ python main.py --eval-only \
            TEST.PCB_MODELPATH ${PCB_PRETRAIN} ${cfg_MODEL}
 
 python tools/model_surgery.py --dataset voc --method randinit \
-    --src-path ${TEACHER_PATH}/model_final.ckpt \
+    --src-path ${TEACHER_WEIGHTS} \
     --save-dir ${TEACHER_PATH}

@@ -29,6 +29,6 @@ python main.py --eval-only \
 
 # render predictions-vs-GT side by side from the eval dump
 python visualize_json_results.py \
-    --input ${TEACHER_PATH}/inference/coco_instances_results.json \
+    --input ${TEACHER_PATH}/coco_instances_results.json \
     --output ${TEACHER_PATH}/visualizations \
     --dataset voc_2007_test_all${SPLIT_ID}

@@ -87,21 +87,13 @@ def _script_paths():
 def parse_script_pairs(path):
     """Extract every `CONFIG.KEY value` pair a run script passes (both in
     cfg_MODEL blocks and inline --opts), comments stripped, shell vars in
-    values replaced by a placeholder."""
+    values replaced by a placeholder. Delegates the token walk to
+    parse_script_pairs_from_text so there is exactly one pairing loop."""
     lines = [
         ln.split("#", 1)[0] for ln in open(path).read().splitlines()
     ]
-    toks = " ".join(lines).split()
-    pairs = []
-    i = 0
-    while i < len(toks) - 1:
-        t = toks[i]
-        if _KEY_RE.match(t) or t in _TOP_KEYS:
-            pairs.append((t, re.sub(r"\$\{[^}]*\}", "dummy", toks[i + 1])))
-            i += 2
-        else:
-            i += 1
-    return pairs
+    text = re.sub(r"\$\{[^}]*\}", "dummy", " ".join(lines))
+    return parse_script_pairs_from_text(text)
 
 
 def parsed_model_combos():

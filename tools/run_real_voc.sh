@@ -9,9 +9,12 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# NB: `shift 2` is a no-op (not a partial shift) when $# < 2, which would
+# leak SPLIT_ID into SEEDS — shift one arg at a time instead.
 SPLIT_ID=${1:-1}
-SHOT=${2:-10}
-shift 2 2>/dev/null || true
+[ $# -ge 1 ] && shift
+SHOT=${1:-10}
+[ $# -ge 1 ] && shift
 SEEDS=${@:-0}
 IMAGENET_PRETRAIN=${IMAGENET_PRETRAIN:-weights/R-101.pkl}
 PCB_PRETRAIN=${PCB_PRETRAIN:-weights/resnet101-torchvision.pth}
