@@ -2,7 +2,13 @@
 
 The reference repo ships real training artifacts (pred_logits.pt,
 gt_classes.pt — used by its test.py:80-92 CE sanity check). We verify our
-loss math reproduces torch's on those exact tensors."""
+loss math reproduces torch's on those exact tensors.
+
+Not consumed: Guided_gt_classes.pt — a 2048-long int64 dump from a
+commented-out experiment (reference roi_heads.py:1064-1082 and its own
+test.py:83 are both commented; fast_rcnn.py:149 takes the arg but the only
+assignment path is dead). Its label range (0..20) doesn't even match the
+16-way pred_logits it sits next to; there is no live formula to pin."""
 
 import os
 
