@@ -153,13 +153,17 @@ def bench_train(model, watchdog=None):
     tx, _ = build_optimizer(cfg, params)
     opt_state = jax.jit(tx.init)(params)
 
-    step = jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
-    flops = _program_flops(
-        step.lower(params, opt_state, images, gt, jax.random.PRNGKey(7), 0)
+    rng_key = jax.random.PRNGKey(7)
+    # AOT-compile once; the SAME executable serves cost_analysis, warmup
+    # and measurement (a later step() call through jit dispatch would
+    # re-trace and re-compile the identical multi-minute program)
+    step = (
+        jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
+        .lower(params, opt_state, images, gt, rng_key, 0)
         .compile()
     )
-    rng_key = jax.random.PRNGKey(7)
-    # warmup (compile + first execution)
+    flops = _program_flops(step)
+    # warmup (first execution)
     params, opt_state, losses = step(params, opt_state, images, gt, rng_key, 0)
     np.asarray(losses["total_loss"])
 

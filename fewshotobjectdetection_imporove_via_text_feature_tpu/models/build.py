@@ -79,13 +79,14 @@ def _common_kwargs(cfg):
         kl_temp=float(cfg.MODEL.ROI_HEADS.KL_TEMP),
         # Distillation gates. The committed reference never assigns its
         # flag attributes (roi_heads.py:545-553 all commented out — the
-        # class cannot even construct there); the run scripts define the
-        # intent: the L2 feature distill needs DISTILLATE AND L2
-        # (commented guard roi_heads.py:608), the KL logit distill rides
-        # DISTILLATE (run_text_train_teacher_novel.sh student stage sets
-        # DISTILLATE True + KL_TEMP with no L2).
+        # class cannot even construct there); the commented guards define
+        # the intent: L2 feature distill needs DISTILLATE AND L2
+        # (roi_heads.py:608), KL logit distill needs DISTILLATE AND KL
+        # (roi_heads.py:746). KL defaults True in the schema so the
+        # reference's student recipe (run_text_train_teacher_novel.sh:61,
+        # DISTILLATE True + KL_TEMP, KL unset) keeps its loss_kl.
         distill_l2=(cfg.MODEL.ROI_HEADS.DISTILLATE and cfg.MODEL.ROI_HEADS.L2),
-        distill_kl=cfg.MODEL.ROI_HEADS.DISTILLATE,
+        distill_kl=(cfg.MODEL.ROI_HEADS.DISTILLATE and cfg.MODEL.ROI_HEADS.KL),
         dtype=dtype,
         **_text_head_kwargs(cfg),
     )

@@ -172,7 +172,7 @@ class TextRes5ROIHeads(Res5ROIHeads):
     # attributes (roi_heads.py:545-553 commented out — the class cannot
     # construct as committed); gating reconstructed from the run scripts +
     # commented guards (see build.py). L2 feature distill = DISTILLATE and
-    # L2; KL logit distill = DISTILLATE.
+    # L2; KL logit distill = DISTILLATE and KL (KL defaults True).
     distill_l2: bool = True
     distill_kl: bool = True
     l2_cosine: bool = False

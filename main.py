@@ -209,7 +209,10 @@ def main():
         register_all,
     )
 
-    register_all()
+    # FSODTF_DATASETS relocates the dataset root (the reference hardcodes
+    # "datasets", builtin.py:9; this is an additive escape hatch, same
+    # spirit as detectron2's DETECTRON2_DATASETS)
+    register_all(os.environ.get("FSODTF_DATASETS", "datasets"))
 
     if args.eval_only:
         return do_test(cfg)

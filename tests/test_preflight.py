@@ -82,10 +82,22 @@ def test_pcb_gate_flags_missing_keys(tmp_path):
     assert any("manifest keys missing" in m for m in problems)
 
 
-def test_runbook_exits_1_without_data():
+def test_runbook_exits_1_without_data(tmp_path):
+    # Point the runbook at an EMPTY data root and nonexistent weights so
+    # the gate must trip even on a machine where real VOC data and
+    # weights have been provisioned in the default locations — otherwise
+    # this test would start an actual base pre-train there.
+    (tmp_path / "data").mkdir()
+    env = dict(
+        os.environ,
+        DATA_ROOT=str(tmp_path / "data"),
+        IMAGENET_PRETRAIN=str(tmp_path / "no-R-101.pkl"),
+        PCB_PRETRAIN=str(tmp_path / "no-pcb.pth"),
+    )
     proc = subprocess.run(
         ["bash", "tools/run_real_voc.sh", "1", "10", "0"],
         cwd=ROOT,
+        env=env,
         capture_output=True,
         text=True,
         timeout=300,

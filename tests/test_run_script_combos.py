@@ -230,3 +230,31 @@ def _run_combo(meta, head, out_layer, want):
     det = jax.jit(functools.partial(model.apply, train=False))(params, images)
     assert det.boxes.shape[0] == 2
     assert np.isfinite(np.asarray(det.scores, np.float32)).all()
+
+
+def test_distill_gate_wiring():
+    """DISTILLATE/L2/KL gates: KL defaults True (the reference's active
+    student recipe run_text_train_teacher_novel.sh:61 sets DISTILLATE
+    without KL and still gets loss_kl — ref roi_heads.py:746), and an
+    explicit KL False genuinely disables the logit distill (the commented
+    guard's intent)."""
+    base = TINY + [
+        "MODEL.ROI_HEADS.NAME", "TextRes5ROIHeads",
+        "MODEL.ADDITION.NAME", "glove",
+    ]
+
+    def gates(extra):
+        cfg = get_cfg()
+        cfg.merge_from_list(base + extra)
+        m = build_model(cfg)
+        return m.distill_kl, m.distill_l2
+
+    # TINY sets DISTILLATE/L2/KL all True
+    assert gates([]) == (True, True)
+    # KL default (True) rides DISTILLATE alone
+    assert gates(["MODEL.ROI_HEADS.KL", "True",
+                  "MODEL.ROI_HEADS.L2", "False"]) == (True, False)
+    # explicit KL False disables the logit distill
+    assert gates(["MODEL.ROI_HEADS.KL", "False"]) == (False, True)
+    # no DISTILLATE -> no distill losses regardless of KL/L2
+    assert gates(["MODEL.ROI_HEADS.DISTILLATE", "False"]) == (False, False)

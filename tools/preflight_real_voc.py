@@ -55,9 +55,11 @@ def check_voc_tree(root, year, min_images):
 def check_vocsplit(root, shot, seeds):
     problems = []
     for seed in seeds:
+        # seed files ALWAYS live under seed{N}/ (even seed 0) — that is
+        # the only layout the loader reads (meta_voc.py:63, matching
+        # reference meta_voc.py:27); accepting a flat layout here would
+        # pass the gate and crash the k-shot stage hours later.
         sd = os.path.join(root, "vocsplit", f"seed{seed}")
-        if seed == 0 and not os.path.isdir(sd):
-            sd = os.path.join(root, "vocsplit")  # seed0 files live flat too
         missing = [
             c for c in VOC_CLASSES
             if not os.path.isfile(

@@ -16,12 +16,15 @@ SPLIT_ID=${1:-1}
 SHOT=${1:-10}
 [ $# -ge 1 ] && shift
 SEEDS=${@:-0}
+DATA_ROOT=${DATA_ROOT:-datasets}
 IMAGENET_PRETRAIN=${IMAGENET_PRETRAIN:-weights/R-101.pkl}
 PCB_PRETRAIN=${PCB_PRETRAIN:-weights/resnet101-torchvision.pth}
 SAVE_DIR=${SAVE_DIR:-outputs/real_voc}
+export FSODTF_DATASETS=${DATA_ROOT}  # main.py registers datasets from here
 
 # --------------------------- Preflight gate -------------------------------
-python tools/preflight_real_voc.py --shot ${SHOT} --seeds ${SEEDS} \
+python tools/preflight_real_voc.py --root ${DATA_ROOT} \
+    --shot ${SHOT} --seeds ${SEEDS} \
     --r101 ${IMAGENET_PRETRAIN} --pcb ${PCB_PRETRAIN}
 
 # --------------------------- Base Pre-train -------------------------------
