@@ -204,6 +204,13 @@ _C.TEST.EVAL_PERIOD = 0
 _C.TEST.DETECTIONS_PER_IMAGE = 100
 _C.TEST.AUG = CfgNode()
 _C.TEST.AUG.ENABLED = False
+# d2-surface compatibility key (ref defaults.py:312-320 registers the hook
+# gated on it); structurally a no-op here AND in the reference: every BN
+# is FrozenBN, so d2's get_bn_modules() finds nothing and the hook never
+# activates. Kept so configs carrying the key parse.
+_C.TEST.PRECISE_BN = CfgNode()
+_C.TEST.PRECISE_BN.ENABLED = False
+_C.TEST.PRECISE_BN.NUM_ITER = 200
 # PCB (ref defrcn/config/defaults.py:25-31)
 _C.TEST.PCB_ENABLE = False
 _C.TEST.PCB_MODELTYPE = "resnet"

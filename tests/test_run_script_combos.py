@@ -258,3 +258,22 @@ def test_distill_gate_wiring():
     assert gates(["MODEL.ROI_HEADS.KL", "False"]) == (False, True)
     # no DISTILLATE -> no distill losses regardless of KL/L2
     assert gates(["MODEL.ROI_HEADS.DISTILLATE", "False"]) == (False, False)
+
+
+def _all_config_yamls():
+    repo = glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"),
+                     recursive=True)
+    ref = glob.glob("/root/reference/configs/**/*.yaml", recursive=True)
+    return sorted(repo) + sorted(ref)
+
+
+@pytest.mark.parametrize(
+    "yaml_path", _all_config_yamls(),
+    ids=[os.path.relpath(p, "/") for p in _all_config_yamls()],
+)
+def test_every_config_yaml_parses_into_schema(yaml_path):
+    """Every shipped config AND every config the reference ships must load
+    through the typed schema (incl. _BASE_ inheritance) — full
+    config-surface parity, so a reference user's YAMLs work unmodified."""
+    cfg = get_cfg()
+    cfg.merge_from_file(yaml_path)
