@@ -122,7 +122,7 @@ def build_text():
         "MODEL.ROI_HEADS.TEACHER_TRAINING", "False",
         "MODEL.ROI_HEADS.STUDENT_TRAINING", "True",
         "MODEL.ROI_HEADS.DISTILLATE", "True",
-        "MODEL.ROI_HEADS.L2", "True",
+        "MODEL.ROI_HEADS.L2", "False",  # the recipe disables the L2 distill
         "MODEL.ROI_HEADS.KL_TEMP", "5",
         "MODEL.ADDITION.NAME", "glove",
         "DATASETS.TRAIN", "('voc_2007_trainval_base1',)",
@@ -257,6 +257,7 @@ class _Watchdog:
         self._last = time.monotonic()
         self._done = threading.Event()
         self._partial = None
+        self.phase = "inference"  # updated by main() as phases start
         threading.Thread(target=self._run, daemon=True).start()
 
     def beat(self):
@@ -282,7 +283,7 @@ class _Watchdog:
                 if self._partial is not None:
                     rec = dict(self._partial)
                     rec["error"] = (
-                        f"post-measurement phase (MFU/train) stalled "
+                        f"post-measurement phase ({self.phase}) stalled "
                         f"{stalled:.0f}s; headline metric already measured"
                     )
                     print(json.dumps(rec), flush=True)
@@ -456,6 +457,8 @@ def main(cpu_baseline: bool = False):
 
     train_ips = train_mfu = train_flops = None
     try:
+        if watchdog is not None:
+            watchdog.phase = "train (MFU/compile/measure)"
         train_ips, train_flops = bench_train(model, watchdog)
         if train_flops:
             train_mfu = (train_flops / TRAIN_BATCH) * train_ips / peak
@@ -474,6 +477,8 @@ def main(cpu_baseline: bool = False):
     # backbone, dual predictors, KL+L2 distill) — same hardened protocol.
     text_ips = text_mfu = text_flops = None
     try:
+        if watchdog is not None:
+            watchdog.phase = "text-distill (compile/measure)"
         text_ips, text_flops = bench_train(
             model=build_text(), watchdog=watchdog, num_classes=15,
             budget=150.0, hard_budget=300.0, quiet_per_img=0.021,
@@ -515,6 +520,9 @@ def main(cpu_baseline: bool = False):
         ),
         "text_distill_mfu": (
             round(text_mfu, 4) if text_mfu is not None else None
+        ),
+        "text_distill_flops_per_image": (
+            round(text_flops / TRAIN_BATCH) if text_flops else None
         ),
         "peak_flops": peak,
     }

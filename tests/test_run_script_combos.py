@@ -260,16 +260,14 @@ def test_distill_gate_wiring():
     assert gates(["MODEL.ROI_HEADS.DISTILLATE", "False"]) == (False, False)
 
 
-def _all_config_yamls():
-    repo = glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"),
-                     recursive=True)
-    ref = glob.glob("/root/reference/configs/**/*.yaml", recursive=True)
-    return sorted(repo) + sorted(ref)
+_ALL_CONFIG_YAMLS = sorted(
+    glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"), recursive=True)
+) + sorted(glob.glob("/root/reference/configs/**/*.yaml", recursive=True))
 
 
 @pytest.mark.parametrize(
-    "yaml_path", _all_config_yamls(),
-    ids=[os.path.relpath(p, "/") for p in _all_config_yamls()],
+    "yaml_path", _ALL_CONFIG_YAMLS,
+    ids=[os.path.relpath(p, "/") for p in _ALL_CONFIG_YAMLS],
 )
 def test_every_config_yaml_parses_into_schema(yaml_path):
     """Every shipped config AND every config the reference ships must load

@@ -153,6 +153,12 @@ def main():
 
     dev = jax.devices()[0]
     print(f"backend: {dev.platform} ({dev.device_kind})")
+    if dev.platform != "tpu" and "--allow-cpu" not in sys.argv:
+        # a CPU fallback would test neither Mosaic lowering nor MXU
+        # rounding — exactly what this tool exists to validate; a green
+        # exit there would be a false on-hardware pass
+        print("not a TPU backend; refusing (pass --allow-cpu to override)")
+        return 2
     fails = 0
     print("NMS: Pallas kernel vs XLA tiled (exact keep-set match)")
     fails += check_nms(jax, jnp)
