@@ -159,3 +159,22 @@ def test_bench_watchdog_fire_and_disarm():
         capture_output=True, text=True, timeout=60,
     )
     assert ok.returncode == 0 and "survived" in ok.stdout
+
+
+def test_bench_text_recipe_matches_cited_script():
+    """bench.build_text must construct exactly the recipe its docstring
+    cites (run_text_train_teacher_novel.sh student stage): TextRes5ROIHeads
+    student, DISTILLATE with KL on (schema default) and L2 OFF."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(ROOT, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    m = bench.build_text()
+    assert m.roi_heads_name == "TextRes5ROIHeads"
+    assert m.distill_kl is True
+    assert m.distill_l2 is False
+    assert m.num_classes == 15
+    assert float(m.kl_temp) == 5.0
