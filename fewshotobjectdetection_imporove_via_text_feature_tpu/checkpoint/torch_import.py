@@ -159,6 +159,107 @@ def _convert(value: np.ndarray, kind: str) -> np.ndarray:
     return v
 
 
+_INV_MOD = {
+    "conv1": ("conv1", None),
+    "conv2": ("conv2", None),
+    "conv3": ("conv3", None),
+    "bn1": ("conv1", "norm"),
+    "bn2": ("conv2", "norm"),
+    "bn3": ("conv3", "norm"),
+    "shortcut": ("shortcut", None),
+    "shortcut_bn": ("shortcut", "norm"),
+}
+
+
+def _ours_to_d2(path):
+    """Inverse of `_d2_to_ours` for the DeFRCN core surface: our flattened
+    param path -> (detectron2 state-dict name, kind). Params with no d2
+    analog (the text/semantic branch modules the reference names under its
+    own torch attributes) return (None, None) and are reported by the
+    exporter rather than guessed.
+
+    Every produced name is roundtrip-verified against `_d2_to_ours` by
+    `export_d2_state`, so the two translators cannot drift."""
+    p = tuple(map(str, path))
+    if p == ("backbone", "stem_conv1", "kernel"):
+        return "backbone.stem.conv1.weight", "conv"
+    if len(p) == 3 and p[:2] == ("backbone", "stem_bn1"):
+        return "backbone.stem.conv1.norm." + p[2], "bn"
+
+    def res_block(prefix, block, mod, leaf):
+        conv, norm = _INV_MOD.get(mod, (None, None))
+        if conv is None or not block.startswith("block"):
+            return None, None
+        b = block[len("block"):]
+        if norm:  # FrozenBN leaves keep d2 names (weight/bias/running_*)
+            return f"{prefix}.{b}.{conv}.norm.{leaf}", "bn"
+        if leaf != "kernel":
+            return None, None
+        return f"{prefix}.{b}.{conv}.weight", "conv"
+
+    if len(p) == 5 and p[0] == "backbone" and p[1].startswith("res"):
+        return res_block(f"backbone.{p[1]}", p[2], p[3], p[4])
+    if len(p) == 6 and p[:3] == ("roi_heads", "res5", "res5"):
+        return res_block("roi_heads.res5", p[3], p[4], p[5])
+
+    if len(p) == 3 and p[0] == "rpn_head" and p[1] in (
+        "conv", "objectness_logits", "anchor_deltas"
+    ):
+        base = f"proposal_generator.rpn_head.{p[1]}"
+        if p[2] == "kernel":
+            return base + ".weight", "conv"
+        if p[2] == "bias":
+            return base + ".bias", "plain"
+
+    if len(p) == 4 and p[0] == "roi_heads" and p[1] in (
+        "box_predictor", "stu_box_predictor"
+    ) and p[2] in ("cls_score", "bbox_pred"):
+        base = f"roi_heads.{p[1]}.{p[2]}"
+        if p[3] == "kernel":
+            return base + ".weight", "linear"
+        if p[3] == "bias":
+            return base + ".bias", "plain"
+
+    if len(p) == 2 and p[0] in ("affine_rpn", "affine_rcnn"):
+        return f"{p[0]}.{p[1]}", "affine"
+
+    return None, None
+
+
+def _deconvert(value: np.ndarray, kind: str) -> np.ndarray:
+    """Inverse of `_convert`: our layout -> torch layout."""
+    v = np.asarray(value)
+    if kind == "conv":
+        return v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    if kind == "linear":
+        return v.T  # (in, out) -> (out, in)
+    if kind == "affine":
+        return v.reshape(1, -1, 1, 1)  # (C,) -> (1, C, 1, 1)
+    return v
+
+
+def export_d2_state(params: Dict):
+    """Our param tree -> detectron2-named state dict (torch layouts), so a
+    checkpoint trained here can be loaded by the reference's
+    DetectionCheckpointer (detection_checkpoint.py:8-56) for cross-
+    framework validation. Returns (state, exported_paths, skipped_paths);
+    skipped = params with no d2 analog (text-branch modules)."""
+    flat = traverse_util.flatten_dict(params)
+    state, exported, skipped = {}, [], []
+    for path, value in flat.items():
+        name, kind = _ours_to_d2(path)
+        if name is None:
+            skipped.append("/".join(map(str, path)))
+            continue
+        back_path, back_kind = _d2_to_ours(name)
+        assert back_path == tuple(map(str, path)) and back_kind == kind, (
+            f"exporter/importer drift at {path} -> {name} -> {back_path}"
+        )
+        state[name] = _deconvert(np.asarray(value, np.float32), kind)
+        exported.append(name)
+    return state, exported, skipped
+
+
 def apply_weight_dict(
     params: Dict, named: Dict[str, np.ndarray], translate, strict: bool = False
 ):

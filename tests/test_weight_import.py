@@ -389,3 +389,49 @@ def test_pcb_cosine_rescore_matches_torch_mirror():
         expect[i] = expect[i] * 0.5 + cos * 0.5
     np.testing.assert_allclose(ours, expect, rtol=1e-5, atol=1e-6)
     assert not np.allclose(ours, scores)  # it actually rescored something
+
+
+def test_export_d2_roundtrips_into_importer():
+    """export_d2_state (ours -> d2 naming/layout) must roundtrip through
+    the importer: re-applying the exported dict onto a zeroed tree
+    restores every exported tensor bit-exactly, and the skipped set is
+    empty for the flagship model (every param has a d2 name)."""
+    import functools
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.torch_import import (
+        export_d2_state,
+    )
+    from tests.test_model_smoke import tiny_batch, tiny_model
+
+    model = tiny_model()
+    images, gt = tiny_batch()
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(3), "sampling": jax.random.PRNGKey(1)},
+        images, gt,
+    )
+    params = jax.device_get(variables["params"])
+
+    state, exported, skipped = export_d2_state(params)
+    assert skipped == [], skipped  # flagship surface is fully exportable
+    assert "backbone.stem.conv1.weight" in state
+    assert "proposal_generator.rpn_head.conv.weight" in state
+    assert "roi_heads.box_predictor.cls_score.weight" in state
+    # torch layouts on the way out
+    hwio = params["backbone"]["stem_conv1"]["kernel"].shape
+    assert state["backbone.stem.conv1.weight"].shape == (
+        hwio[3], hwio[2], hwio[0], hwio[1],
+    )
+    assert state["affine_rpn.weight"].ndim == 4  # (1, C, 1, 1)
+
+    zeroed = jax.tree.map(np.zeros_like, params)
+    back, matched, skipped_in = apply_weight_dict(
+        zeroed, state, _d2_to_ours, strict=True
+    )
+    assert matched == len(exported)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    for k, va in flat_a.items():
+        np.testing.assert_array_equal(
+            np.asarray(va, np.float32), np.asarray(flat_b[k], np.float32),
+            err_msg=str(k),
+        )
