@@ -275,3 +275,37 @@ def test_every_config_yaml_parses_into_schema(yaml_path):
     config-surface parity, so a reference user's YAMLs work unmodified."""
     cfg = get_cfg()
     cfg.merge_from_file(yaml_path)
+
+
+def test_clip_embedding_combo_builds_and_runs():
+    """MODEL.ADDITION.NAME clip: the 512-d bank (reference
+    class_embedding.py loads datasets/clip/*.txt; synthetic fallback
+    here) must size every attention/adapter layer correctly end to end."""
+    cfg = get_cfg()
+    cfg.merge_from_list(
+        TINY
+        + [
+            "MODEL.META_ARCHITECTURE", "GeneralizedRCNN",
+            "MODEL.ROI_HEADS.NAME", "TextRes5ROIHeads",
+            "MODEL.ADDITION.NAME", "clip",
+        ]
+    )
+    model = build_model(cfg)
+    assert model.class_embed.shape[-1] == 512
+    images, gt = _tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(model.init, train=True))(
+        rngs, images, gt
+    )
+    losses = jax.jit(functools.partial(model.apply, train=True))(
+        params, images, gt,
+        rngs={"sampling": jax.random.PRNGKey(3),
+              "dropout": jax.random.PRNGKey(4)},
+    )
+    assert {"loss_cls_t", "loss_kl"} <= set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
