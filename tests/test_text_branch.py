@@ -208,3 +208,63 @@ def test_paint_semantic_map_adding():
     np.testing.assert_allclose(out[3, 3], [1, 0, 1])
     np.testing.assert_allclose(out[1, 1], [1, 0, 0])
     np.testing.assert_allclose(out[7, 7], [0.5, 0.5, 0.5])
+
+
+def _grads(model, params):
+    images, gt = tiny_batch()
+    rngs = {
+        "sampling": jax.random.PRNGKey(3),
+        "dropout": jax.random.PRNGKey(4),
+    }
+
+    def loss_fn(p):
+        losses = model.apply(p, images, gt, train=True, rngs=rngs)
+        return sum(
+            v for k, v in losses.items() if not k.startswith("metric/")
+        )
+
+    return jax.jit(jax.grad(loss_fn))(params)
+
+
+def test_freeze_attention_zeroes_attention_grads():
+    """MODEL.ADDITION.FREEZEATTENTION (ref roi_heads.py:948-951 sets
+    requires_grad=False on the attention module): with the flag on, the
+    attention params get exactly zero gradient while the predictor still
+    trains; with it off the attention gradient is nonzero."""
+
+    def total_abs(tree):
+        return float(
+            sum(jnp.abs(v).sum() for v in jax.tree_util.tree_leaves(tree))
+        )
+
+    grads_by_flag = {}
+    for flag in (False, True):
+        model = GeneralizedRCNN(
+            roi_heads_name="SematicRes5ROIHeads",
+            class_embed=bank(), bg_embed=bg(),
+            freeze_attention=flag, **TINY,
+        )
+        model, params, _ = run_train(model)
+        g = _grads(model, params)["params"]["roi_heads"]
+        grads_by_flag[flag] = g
+        assert total_abs(g["box_predictor"]) > 0, flag
+    assert total_abs(grads_by_flag[True]["attention"]) == 0.0
+    assert total_abs(grads_by_flag[False]["attention"]) > 0
+
+
+def test_l2_cosine_switches_student_feature_loss():
+    """MODEL.ROI_HEADS.L2_COSINE: cosine feature distill (bounded by 2 per
+    ROI) instead of the squared-L2 pull; both finite, numerically
+    different programs."""
+    vals = {}
+    for cos in (False, True):
+        model = GeneralizedRCNN(
+            roi_heads_name="TextRes5ROIHeads",
+            class_embed=bank(), bg_embed=bg(),
+            l2_cosine=cos, **TINY,
+        )
+        _, _, losses = run_train(model)
+        assert "loss_student_feat" in losses
+        vals[cos] = float(losses["loss_student_feat"])
+    assert vals[True] <= 2.0 + 1e-6  # mean of (1 - cos) in [0, 2]
+    assert vals[True] != vals[False]
