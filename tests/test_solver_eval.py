@@ -204,3 +204,44 @@ def test_trainer_test_method(tmp_path, monkeypatch):
     res = tr.test()
     assert "e2e_voc_2007_test_all1" in res
     assert "AP50" in res["e2e_voc_2007_test_all1"]["bbox"]
+
+
+def test_optimizer_freeze_switches_match_novel_finetune_recipe():
+    """The few-shot fine-tune freeze contract (novel configs set
+    MODEL.BACKBONE.FREEZE + MODEL.RPN.FREEZE + MODEL.ROI_HEADS.FREEZE_FEAT,
+    ref rcnn.py:38-50 requires_grad=False): rpn_head and roi_heads/res5
+    receive exactly zero updates; the box predictor still trains."""
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE = True
+    cfg.MODEL.RPN.FREEZE = True
+    cfg.MODEL.ROI_HEADS.FREEZE_FEAT = True
+    params = {
+        "backbone": {
+            "res4": {"block0": {"conv1": {"kernel": jnp.ones((1, 1, 8, 8))}}},
+        },
+        "rpn_head": {
+            "conv": {"kernel": jnp.ones((3, 3, 8, 8)), "bias": jnp.zeros(8)},
+        },
+        "roi_heads": {
+            "res5": {"res5": {"block0": {"conv1": {"kernel": jnp.ones((1, 1, 8, 8))}}}},
+            "box_predictor": {
+                "cls_score": {"kernel": jnp.ones((8, 5)), "bias": jnp.zeros(5)},
+            },
+        },
+        "affine_rcnn": {"weight": jnp.ones(8), "bias": jnp.zeros(8)},
+    }
+    tx, _ = build_optimizer(cfg, params)
+    updates, _ = tx.update(
+        jax.tree_util.tree_map(jnp.ones_like, params), tx.init(params), params
+    )
+
+    def tot(t):
+        return float(
+            sum(jnp.abs(v).sum() for v in jax.tree_util.tree_leaves(t))
+        )
+
+    assert tot(updates["backbone"]) == 0          # BACKBONE.FREEZE -> all
+    assert tot(updates["rpn_head"]) == 0          # RPN.FREEZE
+    assert tot(updates["roi_heads"]["res5"]) == 0  # FREEZE_FEAT
+    assert tot(updates["roi_heads"]["box_predictor"]) > 0
+    assert tot(updates["affine_rcnn"]) > 0        # GDL affine stays live
