@@ -189,10 +189,19 @@ def build_detection_train_loader(
 
 
 def build_detection_test_loader(
-    cfg, dataset_name: str, batch_size: int = 1, *, prefetch: bool = True
+    cfg, dataset_name: str, batch_size: int = 1, *, prefetch: bool = True,
+    shard=None,
 ) -> Iterator:
     """Sequential loader over the full test set; the trailing partial batch
-    is padded with copies flagged via meta['valid_count']."""
+    is padded with copies flagged via meta['valid_count'].
+
+    ``shard=(pindex, pcount)`` enables multi-host mode: the batch sequence
+    is assembled from metadata-only mapping plans (identical on every
+    rank), batch k belongs to rank k % pcount, and FOREIGN batches yield a
+    ``(None, None, {"skip": True})`` sentinel without ever decoding their
+    pixels — the InferenceSampler analog (ref dataloader/build.py:385)
+    without the wasted 1-1/pcount of per-rank decode work a full local
+    iteration would pay."""
     dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
     mapper = DatasetMapper(
         is_train=False,
@@ -213,19 +222,58 @@ def build_detection_test_loader(
     def generate():
         from concurrent.futures import ThreadPoolExecutor
 
+        # Metadata-only batch assembly (mapper.plan never touches pixels):
+        # every rank computes the identical batch sequence, then decodes
+        # only its own batches.
+        plans = [
+            mapper.plan(r, np.random.RandomState(i))
+            for i, r in enumerate(dicts)
+        ]
         groups: Dict[tuple, List] = {}
-        with ThreadPoolExecutor(num_workers) as pool:
-            rngs = [np.random.RandomState(i) for i in range(len(dicts))]
-            for item in pool.map(mapper, dicts, rngs, chunksize=4):
-                key = item["bucket"]
-                groups.setdefault(key, []).append(item)
-                if len(groups[key]) == batch_size:
-                    yield _stack_batch(groups.pop(key))
+        batches: List[List] = []
+        for i, p in enumerate(plans):
+            key = p["bucket"]
+            groups.setdefault(key, []).append((i, p, False))
+            if len(groups[key]) == batch_size:
+                batches.append(groups.pop(key))
         for key, items in groups.items():
             while len(items) < batch_size:
-                pad = dict(items[-1])
-                pad["_pad"] = True
-                items.append(pad)
-            yield _stack_batch(items)
+                j, p, _ = items[-1]
+                items.append((j, p, True))  # pad: copy of the last record
+            batches.append(items)
+
+        pindex, pcount = shard if shard else (0, 1)
+
+        def load(arg):
+            i, plan, is_pad = arg
+            item = mapper(dicts[int(i)], None, plan)
+            if is_pad:
+                item["_pad"] = True
+            return item
+
+        with ThreadPoolExecutor(num_workers) as pool:
+            owned = [k for k in range(len(batches)) if k % pcount == pindex]
+            submitted: Dict[int, List] = {}
+            nxt = 0
+
+            # enough batches in flight to keep every worker busy even at
+            # batch_size 1
+            window = max(3, -(-2 * num_workers // batch_size))
+
+            def fill():
+                nonlocal nxt
+                while nxt < len(owned) and len(submitted) < window:
+                    k = owned[nxt]
+                    submitted[k] = [pool.submit(load, a) for a in batches[k]]
+                    nxt += 1
+
+            fill()
+            for k in range(len(batches)):
+                if k % pcount == pindex:
+                    items = [f.result() for f in submitted.pop(k)]
+                    fill()
+                    yield _stack_batch(items)
+                else:
+                    yield None, None, {"skip": True, "valid_count": 0}
 
     return Prefetcher(generate) if prefetch else generate()

@@ -56,7 +56,6 @@ class DatasetMapper:
         max_gt: int = 100,
         image_format: str = "BGR",
         random_flip: bool = True,
-        filter_difficult: bool = True,
         device_preprocess: bool = False,
         raw_buckets: Sequence[Tuple[int, int]] = (),
         native_io: bool = True,
@@ -71,7 +70,6 @@ class DatasetMapper:
         self.max_gt = max_gt
         self.image_format = image_format
         self.random_flip = random_flip and is_train
-        self.filter_difficult = filter_difficult
         self.device_preprocess = device_preprocess
         self.raw_buckets = list(raw_buckets)
         self.native_io = native_io

@@ -5,19 +5,23 @@ Semantics per defrcn/data/meta_voc.py:12-156:
     annotations whose class is in the split's class list, XYXY boxes with
     the VOC -1 pixel origin shift;
   * "shot" splits: read datasets/vocsplit/seed{S}/box_{K}shot_{cls}_train.txt
-    per class, one record PER (file, class) pair containing only that class's
-    FIRST matching object per file entry, then subsample to K records per
-    class when more exist.
+    per class, one single-instance record PER matching object PER file
+    entry (an image with two cows listed once yields two candidate
+    records, exactly like the reference's per-object loop at
+    meta_voc.py:63-89), then subsample to K records per class when more
+    exist.
 
 Deviation (documented): the reference uses the global numpy RNG for the
-K-record subsample (meta_voc.py:90); we use a seed derived from the dataset
-name for reproducibility across processes.
+K-record subsample (meta_voc.py:90); we use a seed derived from a stable
+digest of the dataset name so every process and every run draws the same
+support set (Python's salted hash() would differ per interpreter).
 """
 
 from __future__ import annotations
 
 import os
 import xml.etree.ElementTree as ET
+import zlib
 
 import numpy as np
 
@@ -61,7 +65,7 @@ def load_filtered_voc_instances(
         shot = name.split("_")[-2].split("shot")[0]
         seed = int(name.split("_seed")[-1])
         split_dir = os.path.join(root, "vocsplit", f"seed{seed}")
-        rng = np.random.RandomState(abs(hash(name)) % (2**31))
+        rng = np.random.RandomState(zlib.crc32(name.encode()) % (2**31))
         for cls in classnames:
             fn = os.path.join(split_dir, f"box_{shot}shot_{cls}_train.txt")
             with open(fn) as f:
@@ -94,8 +98,6 @@ def load_filtered_voc_instances(
                             ],
                         }
                     )
-                    # one record per (file, class) pair like the reference
-                    break
             if len(dicts_) > int(shot):
                 idx = rng.choice(len(dicts_), int(shot), replace=False)
                 dicts_ = [dicts_[i] for i in idx]

@@ -49,9 +49,14 @@ class DefaultPredictor:
         )
         from PIL import Image
 
+        # input arrives BGR (cv2 convention, ref defaults.py:174); resize in
+        # RGB for PIL, then hand the model cfg.INPUT.FORMAT — the reference
+        # flips to RGB when the model was trained that way (defaults.py:184)
         img = Image.fromarray(original_image[:, :, ::-1].astype(np.uint8))
         img = img.resize((w, h), Image.BILINEAR)
-        arr = np.asarray(img, np.uint8)[:, :, ::-1]
+        arr = np.asarray(img, np.uint8)
+        if cfg.INPUT.FORMAT == "BGR":
+            arr = arr[:, :, ::-1]
         bh, bw = pick_bucket(h, w, cfg.TPU.IMAGE_BUCKETS)
         padded = np.zeros((bh, bw, 3), np.uint8)
         padded[:h, :w] = arr

@@ -33,8 +33,12 @@ from ..utils.events import MetricsLogger
 
 def default_setup(cfg, args=None):
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
-        f.write(cfg.dump())
+    # rank 0 writes the config dump (ref defaults.py:100-120 gates on
+    # is_main_process); concurrent writers on a shared OUTPUT_DIR could
+    # interleave and corrupt the file
+    if jax.process_index() == 0:
+        with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
     seed = cfg.SEED if cfg.SEED > 0 else int.from_bytes(os.urandom(3), "little")
     return seed
 
@@ -265,12 +269,15 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         profile_start = cfg.TPU.PROFILE_START_STEP
         profile_stop = profile_start + cfg.TPU.PROFILE_NUM_STEPS
+        profiling = False  # a resume can land INSIDE the window: stop only
+        # if this run actually started a trace
 
         while it < self.max_iter:
             if it == profile_start:
                 jax.profiler.start_trace(
                     os.path.join(cfg.OUTPUT_DIR, "profile")
                 )
+                profiling = True
             images_d, gt_d, meta, extras = next(data_iter)
 
             if cfg.TPU.DEVICE_PREPROCESS:
@@ -313,9 +320,10 @@ class Trainer:
 
             for hook in self.hooks:
                 hook(it, params)
-            if it + 1 == profile_stop and profile_start >= 0:
+            if it + 1 == profile_stop and profiling:
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
+                profiling = False
             it += 1
 
         self.params = params

@@ -172,6 +172,12 @@ def inference_on_dataset(
 
     def uploaded():
         for i, (images, gt, meta) in enumerate(data_loader):
+            # a shard-aware loader marks foreign batches itself (and never
+            # decoded their pixels); the index check keeps the same
+            # round-robin for plain loaders
+            if images is None and meta.get("skip"):
+                yield "skip", None, None, None
+                continue
             if pcount > 1 and i % pcount != pindex:
                 yield "skip", None, None, None
                 continue

@@ -71,27 +71,33 @@ class PrototypicalCalibrationBlock:
         variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
         params = variables["params"]
         if path:
-            try:
-                import torch
+            # A missing file must fail fast, like the reference's bare
+            # torch.load (calibration_layer.py:38-39) — silently rescoring
+            # with random prototypes corrupts every reported AP.
+            import torch
 
-                from ..checkpoint.torch_import import apply_weight_dict
+            from ..checkpoint.torch_import import apply_weight_dict
 
-                state = torch.load(path, map_location="cpu", weights_only=False)
-                if "model" in state:
-                    state = state["model"]
-                named = {
-                    k: v.numpy() for k, v in state.items()
-                    if hasattr(v, "numpy")
-                }
-                params, matched, skipped = apply_weight_dict(
-                    params, named, tv_translate
-                )
-                logger.info(
-                    "PCB: loaded %d tensors from %s (%d unmatched)",
-                    matched, path, len(skipped),
-                )
-            except FileNotFoundError:
-                logger.warning("PCB weights %s missing; using random init", path)
+            state = torch.load(path, map_location="cpu", weights_only=False)
+            if "model" in state:
+                state = state["model"]
+            named = {
+                k: v.numpy() for k, v in state.items()
+                if hasattr(v, "numpy")
+            }
+            params, matched, skipped = apply_weight_dict(
+                params, named, tv_translate
+            )
+            logger.info(
+                "PCB: loaded %d tensors from %s (%d unmatched)",
+                matched, path, len(skipped),
+            )
+        else:
+            logger.warning(
+                "TEST.PCB_MODELPATH is empty: PCB will rescore with a "
+                "RANDOM ResNet (only meaningful in tests; point it at the "
+                "torchvision R-101 ImageNet weights for real evaluation)"
+            )
         return params
 
     def _extract_fn(self, shape):

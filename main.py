@@ -159,8 +159,16 @@ def do_test(cfg, params=None, model=None):
 
     results = {}
     for dataset_name in cfg.DATASETS.TEST:
+        import jax as _jax
+
         loader = build_detection_test_loader(
-            cfg, dataset_name, batch_size=batch_size
+            cfg, dataset_name, batch_size=batch_size,
+            # multi-host: decode only this rank's round-robin slice (the
+            # driver skips foreign batches by the same k % pcount rule)
+            shard=(
+                (_jax.process_index(), _jax.process_count())
+                if _jax.process_count() > 1 else None
+            ),
         )
         evaluator = build_evaluator(cfg, dataset_name, cfg.OUTPUT_DIR)
         res = inference_on_dataset(

@@ -109,6 +109,56 @@ def test_voc_few_shot_split(tmp_path):
         assert len(r["annotations"]) == 1
 
 
+def test_voc_few_shot_multi_instance_pool(tmp_path):
+    """An image with several same-class objects contributes one candidate
+    record PER OBJECT (reference meta_voc.py:63-89 loops over objects with
+    no break), and the K-subsample is deterministic across loads (seeded
+    from a stable digest of the dataset name, not salted hash())."""
+    d = os.path.join(str(tmp_path), "VOC2007")
+    os.makedirs(os.path.join(d, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(d, "JPEGImages"), exist_ok=True)
+    fid = "000042"
+    objs = OBJ_XML.format(name="dog", diff=0, x1=10, y1=20, x2=100, y2=120)
+    objs += OBJ_XML.format(name="dog", diff=0, x1=150, y1=30, x2=250, y2=130)
+    objs += OBJ_XML.format(name="cat", diff=0, x1=50, y1=60, x2=200, y2=180)
+    with open(os.path.join(d, "Annotations", fid + ".xml"), "w") as f:
+        f.write(VOC_XML.format(w=300, h=220, objs=objs))
+    Image.fromarray(np.zeros((220, 300, 3), np.uint8)).save(
+        os.path.join(d, "JPEGImages", fid + ".jpg")
+    )
+    split_dir = tmp_path / "vocsplit" / "seed0"
+    split_dir.mkdir(parents=True)
+    with open(split_dir / "box_2shot_dog_train.txt", "w") as f:
+        f.write(f"VOC2007/JPEGImages/{fid}.jpg\n")
+
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_novel1_2shot_seed0", d, "trainval", ["dog"],
+        root=str(tmp_path),
+    )
+    # both dog instances are distinct candidates; 2 candidates == 2 shots,
+    # so no subsample: both boxes must appear, each as its own record
+    assert len(dicts) == 2
+    boxes = sorted(r["annotations"][0]["bbox"][0] for r in dicts)
+    assert boxes == [9.0, 149.0]
+
+    # 3 candidates > 2 shots: subsample must be identical across loads
+    with open(split_dir / "box_2shot_dog_train.txt", "w") as f:
+        f.write(f"VOC2007/JPEGImages/{fid}.jpg\n")
+        f.write(f"VOC2007/JPEGImages/{fid}.jpg\n")
+    a = load_filtered_voc_instances(
+        "voc_2007_trainval_novel1_2shot_seed0", d, "trainval", ["dog"],
+        root=str(tmp_path),
+    )
+    b = load_filtered_voc_instances(
+        "voc_2007_trainval_novel1_2shot_seed0", d, "trainval", ["dog"],
+        root=str(tmp_path),
+    )
+    assert len(a) == 2
+    assert [r["annotations"][0]["bbox"] for r in a] == [
+        r["annotations"][0]["bbox"] for r in b
+    ]
+
+
 def test_mapper_fixed_shapes(tmp_path):
     d, ids = make_voc(str(tmp_path))
     classes = PASCAL_VOC_ALL_CATEGORIES[1]

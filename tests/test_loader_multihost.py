@@ -91,6 +91,66 @@ def test_rank_slices_assemble_to_global_batches(tmp_path):
         assert ids == meta["image_ids"]
 
 
+def test_sharded_test_loader_matches_unsharded(tmp_path, monkeypatch):
+    """shard=(r, P) must reproduce the unsharded batch stream exactly —
+    rank r owns batches k % P == r, foreign positions are skip sentinels —
+    and foreign batches' pixels must never be decoded."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.loader import (
+        build_detection_test_loader,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        mapper as mapper_mod,
+    )
+
+    name = _register(tmp_path, "loader_sh_voc")
+    cfg = _cfg(name)
+    cfg.INPUT.MIN_SIZE_TEST = 192
+    cfg.INPUT.MAX_SIZE_TEST = 512
+
+    full = list(build_detection_test_loader(
+        cfg, name, batch_size=2, prefetch=False
+    ))
+
+    calls = []
+    orig = mapper_mod.DatasetMapper.__call__
+
+    def counting(self, record, rng, plan=None):
+        calls.append(record["image_id"])
+        return orig(self, record, rng, plan)
+
+    monkeypatch.setattr(mapper_mod.DatasetMapper, "__call__", counting)
+
+    P = 2
+    shards = [
+        list(build_detection_test_loader(
+            cfg, name, batch_size=2, prefetch=False, shard=(r, P)
+        ))
+        for r in range(P)
+    ]
+    for r, stream in enumerate(shards):
+        assert len(stream) == len(full)
+        for k, (images, gt, meta) in enumerate(stream):
+            if k % P == r:
+                np.testing.assert_array_equal(
+                    images.image, full[k][0].image
+                )
+                assert meta["image_ids"] == full[k][2]["image_ids"]
+                assert meta["valid_count"] == full[k][2]["valid_count"]
+            else:
+                assert images is None and meta["skip"]
+
+    # decode ran exactly once per owned slot (incl. pad copies) and never
+    # for a foreign batch
+    owned_ids = [
+        i
+        for r, stream in enumerate(shards)
+        for k, b in enumerate(stream)
+        if k % P == r
+        for i in b[2]["image_ids"]
+    ]
+    assert sorted(calls) == sorted(owned_ids)
+
+
 def test_multiple_buckets_used(tmp_path):
     # the fixture's multi-scale choice must actually exercise >1 bucket,
     # otherwise the agreement test above is vacuous
