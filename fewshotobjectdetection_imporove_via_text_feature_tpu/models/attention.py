@@ -27,7 +27,7 @@ whole thing lives in VMEM.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -45,31 +45,54 @@ def scaled_dot_product_attention(q, k, v, temperature):
     return out, attn
 
 
+# torch nn.Linear's default kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+# — the init every reference Linear gets unless explicitly overridden.
+# Deviation (documented): torch also draws biases from U(±1/sqrt(fan_in));
+# flax biases stay zero here.
+torch_linear_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
 class FFN(nn.Module):
     d_model: int
     d_ffn: int = 1024
+    kernel_init: Any = None  # None -> torch default
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.d_ffn, name="linear1")(x)
+        init = self.kernel_init or torch_linear_init
+        h = nn.Dense(self.d_ffn, kernel_init=init, name="linear1")(x)
         h = nn.relu(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, kernel_init=init, name="linear2")(h)
         return nn.LayerNorm(name="norm3")(x + h)
 
 
 class SingleHeadSiameseAttention(nn.Module):
-    """Single-head attention with a learned dummy background K token."""
+    """Single-head attention with a learned dummy background K token.
+
+    reinit_scale mirrors the reference's two construction contexts: the
+    Sematic/LV heads re-initialize EVERY Linear inside the module —
+    w_q/w_k/w_v, linear1/2/3 AND the FFN — to N(0, 0.02)
+    (_init_parameters, attentive_modules.py:181-189, called with the
+    attention instance at :248/:376/:572); GeneralizedTextAttRCNN uses the
+    module as constructed (rcnn.py:460), i.e. w_q/w_k/w_v ~ N(0,
+    sqrt(2/(d+d))) (attentive_modules.py:95-100) and torch-default linears.
+    Pass reinit_scale=None for the latter."""
 
     d_model: int
-    init_scale: float = 0.02
+    reinit_scale: Any = 0.02
 
     @nn.compact
     def __call__(self, q, k, v):
         d = self.d_model
+        if self.reinit_scale is not None:
+            qkv_init = lin_init = nn.initializers.normal(self.reinit_scale)
+        else:
+            qkv_init = nn.initializers.normal(np.sqrt(2.0 / (d + d)))
+            lin_init = torch_linear_init
         dense = lambda name: nn.Dense(
-            d, use_bias=False,
-            kernel_init=nn.initializers.normal(self.init_scale),
-            name=name,
+            d, use_bias=False, kernel_init=qkv_init, name=name,
         )
         residual = q
         qp = dense("w_q")(q)
@@ -90,20 +113,26 @@ class SingleHeadSiameseAttention(nn.Module):
         )
 
         o1 = nn.relu(
-            nn.Dense(d // 2,
-                     kernel_init=nn.initializers.normal(self.init_scale),
-                     name="linear1")(out * residual)
+            nn.Dense(d // 2, kernel_init=lin_init, name="linear1")(
+                out * residual
+            )
         )
         o2 = nn.relu(
-            nn.Dense(d // 2,
-                     kernel_init=nn.initializers.normal(self.init_scale),
-                     name="linear2")(residual - out)
+            nn.Dense(d // 2, kernel_init=lin_init, name="linear2")(
+                residual - out
+            )
         )
         merged = nn.Dense(
-            d, kernel_init=nn.initializers.normal(self.init_scale),
-            name="linear3",
+            d, kernel_init=lin_init, name="linear3",
         )(jnp.concatenate([o1, o2, residual], axis=-1))
-        return FFN(d, name="ffn")(merged), attn
+        return FFN(
+            d,
+            kernel_init=(
+                nn.initializers.normal(self.reinit_scale)
+                if self.reinit_scale is not None else None
+            ),
+            name="ffn",
+        )(merged), attn
 
 
 class SematicProposalAttention(nn.Module):
@@ -125,8 +154,17 @@ class SematicProposalAttention(nn.Module):
         )  # (C+1, sem)
         residual_text = bank
 
-        k = nn.relu(nn.Dense(self.input_size, name="key_projection")(bank))
-        v = nn.relu(nn.Dense(self.input_size, name="value_projection")(bank))
+        # key/value projections are NOT covered by the reference's
+        # _init_parameters re-init (it targets self.attention only,
+        # attentive_modules.py:248) — they keep torch's default Linear init
+        k = nn.relu(nn.Dense(
+            self.input_size, kernel_init=torch_linear_init,
+            name="key_projection",
+        )(bank))
+        v = nn.relu(nn.Dense(
+            self.input_size, kernel_init=torch_linear_init,
+            name="value_projection",
+        )(bank))
 
         sim2stext, attn = SingleHeadSiameseAttention(
             self.input_size, name="attention"
@@ -153,12 +191,16 @@ class LVAttention(nn.Module):
         embed = jnp.concatenate(
             [jnp.asarray(self.class_embed, jnp.float32), w_bg], axis=0
         )  # (C+1, text_dim)
-        embed = nn.Dense(self.input_size, name="proj2")(embed)
+        embed = nn.Dense(
+            self.input_size, kernel_init=torch_linear_init, name="proj2"
+        )(embed)
 
         label = jnp.clip(gt_classes, 0, c)  # ignore rows -> bg bucket
         text_feat = embed[label]  # (N, input_size)
 
-        value = nn.Dense(self.input_size, name="proj_k")(
+        value = nn.Dense(
+            self.input_size, kernel_init=torch_linear_init, name="proj_k"
+        )(
             jnp.concatenate([visual_feat, text_feat], axis=-1)
         )
         # the returned text_feat is the PRE-relu gathered projection (the
@@ -188,7 +230,9 @@ class LVAttentionTextDomination(nn.Module):
     @nn.compact
     def __call__(self, visual_feat, gt_classes):
         c, text_dim = self.class_embed.shape
-        vis_t = nn.Dense(text_dim, name="proj_visual")(visual_feat)
+        vis_t = nn.Dense(
+            text_dim, kernel_init=torch_linear_init, name="proj_visual"
+        )(visual_feat)
 
         w_bg = self.param(
             "w_bg", nn.initializers.normal(1.0), (1, text_dim)
@@ -199,7 +243,9 @@ class LVAttentionTextDomination(nn.Module):
         label = jnp.clip(gt_classes, 0, c)
         text_feat = embed[label]  # (N, text_dim)
 
-        value = nn.Dense(text_dim, name="proj_value")(
+        value = nn.Dense(
+            text_dim, kernel_init=torch_linear_init, name="proj_value"
+        )(
             jnp.concatenate([vis_t, text_feat], axis=-1)
         )
         text_feat_out = text_feat  # pre-relu, like the reference dict
@@ -211,7 +257,9 @@ class LVAttentionTextDomination(nn.Module):
             text_dim, name="attention"
         )(q, text_feat[None], value[None])
         sim2stext = nn.relu(sim2stext[0])
-        sim2stext = nn.Dense(self.input_size, name="proj2")(sim2stext)
+        sim2stext = nn.Dense(
+            self.input_size, kernel_init=torch_linear_init, name="proj2"
+        )(sim2stext)
         return {}, {"sim2stext": sim2stext, "text_feat": text_feat_out}
 
 

@@ -42,7 +42,8 @@ def _common_kwargs(cfg):
         freeze_at=freeze_at,
         freeze_backbone=cfg.MODEL.BACKBONE.FREEZE,
         freeze_rpn=cfg.MODEL.RPN.FREEZE,
-        freeze_roi_feat=cfg.MODEL.ROI_HEADS.FREEZE_FEAT,
+        # ROI_HEADS.FREEZE_FEAT is enforced ONLY by the optimizer mask
+        # (solver/build.py) — no model-side switch, so nothing can drift
         anchor_sizes=tuple(cfg.MODEL.ANCHOR_GENERATOR.SIZES[0]),
         anchor_aspect_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS[0]),
         rpn_pre_nms_topk=(
@@ -74,7 +75,9 @@ def _common_kwargs(cfg):
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         roi_heads_name=cfg.MODEL.ROI_HEADS.NAME,
         output_layer=cfg.MODEL.ROI_HEADS.OUTPUT_LAYER,
-        freeze_attention=cfg.MODEL.ADDITION.FREEZEATTENTION,
+        # MODEL.ADDITION.FREEZEATTENTION lives in the optimizer freeze mask
+        # (solver/build.py), not the module: ref roi_heads.py:948-951 only
+        # sets requires_grad=False — gradients still flow through.
         l2_cosine=cfg.MODEL.ROI_HEADS.L2_COSINE,
         kl_temp=float(cfg.MODEL.ROI_HEADS.KL_TEMP),
         # Distillation gates. The committed reference never assigns its

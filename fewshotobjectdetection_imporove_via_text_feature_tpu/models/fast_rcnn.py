@@ -13,15 +13,13 @@ candidate budget instead of dynamic nonzero gathers.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import decode_deltas, encode_deltas, clip_boxes, nonempty_mask
+from ..ops import decode_deltas, encode_deltas, clip_boxes
 from ..ops.nms import batched_nms_fixed
-from ..structures import Detections
 
 
 class FastRCNNOutputLayers(nn.Module):

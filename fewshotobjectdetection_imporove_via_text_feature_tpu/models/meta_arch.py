@@ -20,7 +20,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.gdl import decouple_layer
-from ..structures import Detections, GTInstances, ImageBatch, Proposals
+from ..structures import Detections, GTInstances, ImageBatch
 from .backbone import ResNetC4
 from .fast_rcnn import fast_rcnn_inference, fast_rcnn_losses, rescale_detections
 from .roi_heads import Res5ROIHeads, label_and_sample_proposals
@@ -70,7 +70,6 @@ class GeneralizedRCNN(nn.Module):
     freeze_at: int = 3
     freeze_backbone: bool = False
     freeze_rpn: bool = False
-    freeze_roi_feat: bool = False
     # RPN
     anchor_sizes: Tuple[int, ...] = (32, 64, 128, 256, 512)
     anchor_aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
@@ -104,7 +103,6 @@ class GeneralizedRCNN(nn.Module):
     output_layer: str = "FastRCNNOutputLayers"
     class_embed: Any = None      # np (C, sem_dim) bank for text heads
     bg_embed: Any = None         # np (1, sem_dim) for SematicProposalAttention
-    freeze_attention: bool = False
     l2_cosine: bool = False
     kl_temp: float = 1.0
     # text-head distillation gates (see build.py: DISTILLATE/L2 flags)
@@ -170,7 +168,6 @@ class GeneralizedRCNN(nn.Module):
             return SematicRes5ROIHeads(
                 class_embed=self.class_embed,
                 bg_embed=self.bg_embed,
-                freeze_attention=self.freeze_attention,
                 cross_output=name.endswith("CrossOutput"),
                 **common,
             )
@@ -284,6 +281,14 @@ class GeneralizedRCNN(nn.Module):
 
     def forward_train(self, images: ImageBatch, gt: GTInstances):
         feat, _ = self.compute_features(images)
+        return self._train_tail(feat, images, gt)
+
+    def _train_tail(self, feat, images: ImageBatch, gt: GTInstances,
+                    extra_losses=None):
+        """RPN + ROI sampling/losses on prepared res4 features — the ONE
+        shared training tail; the semantic/text/distillated meta-archs
+        reuse it after swapping/fusing `feat` (so diagnostics and any
+        sampling-flow fix apply to every variant)."""
         feat_rpn, feat_rcnn = self.branch_features(feat)
 
         logits, deltas, anchors, proposals = self.run_rpn(
@@ -332,6 +337,8 @@ class GeneralizedRCNN(nn.Module):
 
         roi_losses = self.roi_losses(feat_rcnn, sampled)
         losses.update(roi_losses)
+        if extra_losses:
+            losses.update(extra_losses)
         return losses
 
     def roi_losses(self, feat_rcnn, sampled) -> Dict[str, jnp.ndarray]:

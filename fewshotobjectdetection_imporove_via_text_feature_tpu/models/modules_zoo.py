@@ -315,7 +315,17 @@ class FeatureGenerator(nn.Module):
     @nn.compact
     def __call__(self, x, label):
         c = x.shape[-1]
-        near_eye = nn.initializers.normal(0.02)
+
+        def near_eye(key, shape, dtype=jnp.float32):
+            # ref init_weights (my_module.py:986-991): weight(out, in) =
+            # eye(out, in) + N(0, 0.02) — the (2C->C) layer starts as a
+            # pass-through of the x half, so generated features begin near
+            # the real feature. Flax kernels are (in, out): transpose the
+            # eye.
+            n_in, n_out = shape
+            return jnp.eye(n_in, n_out, dtype=dtype) + 0.02 * (
+                jax.random.normal(key, shape, dtype)
+            )
 
         mean = nn.Dense(1, name="mean_layer")(x)  # (N, 1)
         std = nn.relu(nn.Dense(1, name="std_layer")(x))  # (N, 1)

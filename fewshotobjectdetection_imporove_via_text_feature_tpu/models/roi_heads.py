@@ -13,7 +13,6 @@ matching/sampling is vmapped; the pooled ROI batch has static shape
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ from ..ops import pairwise_iou, match_proposals, sample_proposals_fixed
 from ..ops.roi_align import roi_align_auto
 from ..structures import GTInstances, Proposals
 from .backbone import Res5Stage
-from .fast_rcnn import FastRCNNOutputLayers, fast_rcnn_losses, fast_rcnn_inference
+from .fast_rcnn import FastRCNNOutputLayers
 
 
 def label_and_sample_proposals(

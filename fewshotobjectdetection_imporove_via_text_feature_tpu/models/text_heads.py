@@ -29,14 +29,14 @@ fixed-shape and vmapped.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..structures import GTInstances, ImageBatch
+from ..structures import GTInstances
 from .attention import (
     LVAttention,
     LVAttentionTextDomination,
@@ -44,8 +44,8 @@ from .attention import (
     SingleHeadSiameseAttention,
     loss_fn_kd_only,
 )
-from .build import META_ARCH_REGISTRY, _common_kwargs, register_meta_arch
-from .fast_rcnn import FastRCNNOutputLayers, fast_rcnn_inference, fast_rcnn_losses
+from .build import _common_kwargs, register_meta_arch
+from .fast_rcnn import FastRCNNOutputLayers
 from .meta_arch import GeneralizedRCNN
 from .roi_heads import Res5ROIHeads
 
@@ -60,6 +60,7 @@ def paint_semantic_map(
     feat_hw: Tuple[int, int],
     stride: int = 16,
     adding: bool = False,
+    inclusive_end: bool = False,
 ):
     """(B, H, W, sem) map: pixels inside a GT box get that class's
     embedding; everything else bg.
@@ -67,15 +68,23 @@ def paint_semantic_map(
     adding=False: later GT index wins ties (the reference's sequential
     overwrite, rcnn.py:198-201). adding=True: overlapping boxes SUM their
     embeddings (GeneralizedDistillatedAddingRCNN, rcnn.py:328-357).
+
+    inclusive_end selects between the reference's two _expand_bbox
+    variants: the Semantic/Distillated meta-archs truncate the end bound
+    (paint [floor(x1), floor(x2)) — rcnn.py:177-185), while the Text
+    meta-archs paint through the cell containing the box edge
+    ([floor(x1), floor(x2)+1) — rcnn.py:398-405), which also guarantees
+    sub-cell boxes still paint their cell.
     """
     h, w = feat_hw
     bg = jnp.reshape(bg_vector, (-1,))
+    end_shift = 1.0 if inclusive_end else 0.0
 
     def per_image(boxes, classes, valid):
         x1 = jnp.floor(boxes[:, 0] / stride)
         y1 = jnp.floor(boxes[:, 1] / stride)
-        x2 = jnp.floor(boxes[:, 2] / stride)
-        y2 = jnp.floor(boxes[:, 3] / stride)
+        x2 = jnp.floor(boxes[:, 2] / stride) + end_shift
+        y2 = jnp.floor(boxes[:, 3] / stride) + end_shift
         xs = jnp.arange(w, dtype=boxes.dtype)
         ys = jnp.arange(h, dtype=boxes.dtype)
         in_x = (xs[None, :] >= x1[:, None]) & (xs[None, :] < x2[:, None])
@@ -111,7 +120,6 @@ class SematicRes5ROIHeads(Res5ROIHeads):
 
     class_embed: Any = None   # np (C, sem)
     bg_embed: Any = None      # np (1, sem)
-    freeze_attention: bool = False
     cross_output: bool = False  # SematicRes5ROIHeadsCrossOutput variant
 
     def setup(self):
@@ -125,10 +133,14 @@ class SematicRes5ROIHeads(Res5ROIHeads):
         self.output_projection = nn.Dense(sem_dim)
 
     def forward_att(self, feature_pooled, *, train: bool):
+        # MODEL.ADDITION.FREEZEATTENTION is enforced at the optimizer level
+        # (solver/build.py mask on roi_heads/attention), matching the
+        # reference's requires_grad=False (roi_heads.py:948-951): the
+        # attention WEIGHTS never update, but gradients still flow THROUGH
+        # the module into feature_pooled -> res5/backbone, and
+        # loss_attentive keeps its upstream gradient. A stop_gradient here
+        # would sever both (pre-round-2-review bug).
         attn, out = self.attention(feature_pooled)
-        if self.freeze_attention:
-            out = jax.tree_util.tree_map(jax.lax.stop_gradient, out)
-            attn = jax.lax.stop_gradient(attn)
         if self.cross_output:
             # attended features projected to text space, scored against the
             # bank -> those scores feed the cls head (ref :1154-1171)
@@ -317,48 +329,10 @@ class GeneralizedSemanticRCNN(GeneralizedRCNN):
         return feat, feats
 
     def forward_train(self, images, gt):
-        # identical flow; compute_features consumes gt
+        # identical flow to the parent's _train_tail (shared — all
+        # diagnostics included); compute_features consumes gt
         feat, _ = self.compute_features(images, gt)
         return self._train_tail(feat, images, gt)
-
-    # split the parent's training tail so subclasses can reuse it
-    def _train_tail(self, feat, images, gt, extra_losses=None):
-        feat_rpn, feat_rcnn = self.branch_features(feat)
-        logits, deltas, anchors, proposals = self.run_rpn(
-            feat_rpn, images, train=True
-        )
-        from .rpn import label_and_sample_anchors, rpn_losses
-        from .roi_heads import label_and_sample_proposals
-
-        key = self.make_rng("sampling")
-        b = images.image.shape[0]
-        keys = jax.random.split(key, b + 1)
-        gt_labels, matched = jax.vmap(
-            lambda k, g: label_and_sample_anchors(
-                k, anchors, g,
-                batch_size_per_image=self.rpn_batch_per_image,
-                positive_fraction=self.rpn_positive_fraction,
-            )
-        )(keys[1:], gt)
-        losses = rpn_losses(
-            logits, deltas, anchors, gt_labels, matched,
-            batch_size_per_image=self.rpn_batch_per_image,
-        )
-        roi_keys = jax.random.split(keys[0], b)
-        sampled = jax.vmap(
-            lambda k, p, g: label_and_sample_proposals(
-                k, p, g,
-                batch_size_per_image=self.roi_batch_per_image,
-                positive_fraction=self.roi_positive_fraction,
-                num_classes=self.num_classes,
-                iou_threshold=self.roi_iou_threshold,
-                append_gt=self.proposal_append_gt,
-            )
-        )(roi_keys, proposals, gt)
-        losses.update(self.roi_losses(feat_rcnn, sampled))
-        if extra_losses:
-            losses.update(extra_losses)
-        return losses
 
 
 class GeneralizedDistillatedRCNN(GeneralizedSemanticRCNN):
@@ -415,6 +389,7 @@ class GeneralizedTextRCNN(GeneralizedRCNN):
             self.bg_feature,
             (feat.shape[1], feat.shape[2]),
             stride=self.anchor_stride,
+            inclusive_end=True,  # Text _expand_bbox ends at floor(x2)+1
         )
         fused = jnp.concatenate(
             [feat.astype(jnp.float32), sem], axis=-1
@@ -429,7 +404,7 @@ class GeneralizedTextRCNN(GeneralizedRCNN):
 
     def forward_train(self, images, gt):
         feat, _ = self.compute_features(images, gt)
-        return GeneralizedSemanticRCNN._train_tail(self, feat, images, gt)
+        return self._train_tail(feat, images, gt)
 
 
 class GeneralizedTextAttRCNN(GeneralizedTextRCNN):
@@ -441,8 +416,10 @@ class GeneralizedTextAttRCNN(GeneralizedTextRCNN):
         c4 = self.res2_out_channels * 4
         self.LtoVproj = nn.Dense(c4, name="LtoVproj")
         self.attproj = nn.Dense(c4, name="attproj")
+        # as-constructed init (rcnn.py:460 never calls _init_parameters):
+        # w_q/w_k/w_v keep their sqrt(2/(d+d)) normal init
         self.pixel_attention = SingleHeadSiameseAttention(
-            c4, name="pixel_attention"
+            c4, reinit_scale=None, name="pixel_attention"
         )
 
     def fuse_text(self, feat, gt):
@@ -453,6 +430,7 @@ class GeneralizedTextAttRCNN(GeneralizedTextRCNN):
             self.bg_feature,
             (h, w),
             stride=self.anchor_stride,
+            inclusive_end=True,  # Text _expand_bbox ends at floor(x2)+1
         )
         text = self.LtoVproj(sem)  # (B, H, W, C)
         vis = feat.astype(jnp.float32)

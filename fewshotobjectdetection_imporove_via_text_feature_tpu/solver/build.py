@@ -101,6 +101,13 @@ def _path_masks(cfg, params):
             "roi_heads/res5"
         ):
             return True
+        # ref roi_heads.py:948-951: requires_grad=False on the semantic
+        # attention module only — parameter-level freeze, gradients still
+        # flow through it into res5/backbone
+        if cfg.MODEL.ADDITION.FREEZEATTENTION and path.startswith(
+            "roi_heads/attention"
+        ):
+            return True
         return False
 
     frozen = {k: is_frozen(k) for k in flat}

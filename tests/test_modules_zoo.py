@@ -217,3 +217,28 @@ def test_optimal_transport_approx_zero_rc_grads():
         argnums=(0, 1, 2),
     )(M, r, c)
     assert not np.any(np.asarray(dr)) and not np.any(np.asarray(dc))
+
+
+def test_feature_generator_near_identity_init():
+    """ref init_weights (my_module.py:986-991): mlp weights start as
+    eye(out, in) + N(0, 0.02), so the (2C->C) layer initially passes the
+    x half of cat(x, z) through — generated features begin near the real
+    feature, not at relu-squashed noise."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.modules_zoo import (
+        FeatureGenerator,
+    )
+
+    c = 32
+    m = FeatureGenerator(input_size=c, repeat_time=2)
+    x = np.random.RandomState(0).randn(4, c).astype(np.float32)
+    v = m.init(
+        {"params": jax.random.PRNGKey(0),
+         "generator": jax.random.PRNGKey(1)},
+        jnp.asarray(x), jnp.zeros(4, jnp.int32),
+    )
+    k0 = np.asarray(v["params"]["mlp0"]["kernel"])  # (2c, c), flax (in,out)
+    noise0 = k0 - np.eye(2 * c, c)
+    assert abs(noise0.mean()) < 0.01
+    assert 0.005 < noise0.std() < 0.05
+    k1 = np.asarray(v["params"]["mlp1"]["kernel"])
+    assert np.abs(np.diag(k1) - 1.0).mean() < 0.1

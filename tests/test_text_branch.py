@@ -136,6 +136,52 @@ def test_paint_semantic_map_last_wins():
     np.testing.assert_allclose(out[7, 7], [0.5, 0.5, 0.5])
 
 
+def test_paint_semantic_map_inclusive_end():
+    """The Text meta-archs' _expand_bbox ends at floor(x2/stride)+1
+    (ref rcnn.py:398-405) while the Semantic variant truncates
+    (rcnn.py:177-185): a sub-cell box must paint its cell only in
+    inclusive mode, and every box gains its edge cell."""
+    emb = np.eye(3, dtype=np.float32)
+    gt = GTInstances(
+        boxes=jnp.asarray([[[97.6, 97.6, 104.0, 104.0]]]),  # inside cell 6
+        classes=jnp.asarray([[1]], jnp.int32),
+        valid=jnp.asarray([[True]]),
+    )
+    bg_vec = jnp.zeros((3,))
+    excl = np.asarray(
+        paint_semantic_map(gt, jnp.asarray(emb), bg_vec, (8, 8), stride=16)
+    )[0]
+    incl = np.asarray(
+        paint_semantic_map(
+            gt, jnp.asarray(emb), bg_vec, (8, 8), stride=16,
+            inclusive_end=True,
+        )
+    )[0]
+    # floor(97.6/16)=6, floor(104/16)=6: exclusive [6,6) paints nothing
+    assert excl.sum() == 0
+    # inclusive [6,7) paints exactly cell (6,6)
+    np.testing.assert_allclose(incl[6, 6], [0, 1, 0])
+    assert incl.sum() == 1.0
+
+    # a box ending at 95.9 (cell 5.99): inclusive keeps column/row 5
+    gt2 = GTInstances(
+        boxes=jnp.asarray([[[0.0, 0.0, 95.9, 95.9]]]),
+        classes=jnp.asarray([[0]], jnp.int32),
+        valid=jnp.asarray([[True]]),
+    )
+    excl2 = np.asarray(
+        paint_semantic_map(gt2, jnp.asarray(emb), bg_vec, (8, 8), stride=16)
+    )[0]
+    incl2 = np.asarray(
+        paint_semantic_map(
+            gt2, jnp.asarray(emb), bg_vec, (8, 8), stride=16,
+            inclusive_end=True,
+        )
+    )[0]
+    assert excl2[:, :, 0].sum() == 25  # [0,5) x [0,5)
+    assert incl2[:, :, 0].sum() == 36  # [0,6) x [0,6)
+
+
 def test_kd_loss_bg_weighting():
     logits_s = jnp.asarray([[2.0, 0.0], [0.0, 2.0]])
     logits_t = jnp.asarray([[0.0, 2.0], [2.0, 0.0]])
@@ -226,30 +272,80 @@ def _grads(model, params):
     return jax.jit(jax.grad(loss_fn))(params)
 
 
-def test_freeze_attention_zeroes_attention_grads():
-    """MODEL.ADDITION.FREEZEATTENTION (ref roi_heads.py:948-951 sets
-    requires_grad=False on the attention module): with the flag on, the
-    attention params get exactly zero gradient while the predictor still
-    trains; with it off the attention gradient is nonzero."""
+def test_freeze_attention_masks_updates_not_gradient_flow():
+    """MODEL.ADDITION.FREEZEATTENTION is the reference's
+    requires_grad=False on the attention module ONLY (roi_heads.py:948-951):
+    the loss gradient still flows THROUGH the attention (nonzero raw grads
+    on its params and on upstream res5 — a stop_gradient would sever the
+    CE-attention path), but the optimizer update for the attention params
+    is exactly zero when the flag is set."""
+    import optax
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.solver import (
+        build_optimizer,
+    )
 
     def total_abs(tree):
         return float(
             sum(jnp.abs(v).sum() for v in jax.tree_util.tree_leaves(tree))
         )
 
-    grads_by_flag = {}
+    model = GeneralizedRCNN(
+        roi_heads_name="SematicRes5ROIHeads",
+        class_embed=bank(), bg_embed=bg(), **TINY,
+    )
+    model, params, _ = run_train(model)
+    grads = _grads(model, params)["params"]
+    # gradient flows through the frozen-at-optimizer-level module
+    assert total_abs(grads["roi_heads"]["attention"]) > 0
+    assert total_abs(grads["roi_heads"]["res5"]) > 0
+    assert total_abs(grads["roi_heads"]["box_predictor"]) > 0
+
+    updates_by_flag = {}
     for flag in (False, True):
-        model = GeneralizedRCNN(
-            roi_heads_name="SematicRes5ROIHeads",
-            class_embed=bank(), bg_embed=bg(),
-            freeze_attention=flag, **TINY,
-        )
-        model, params, _ = run_train(model)
-        g = _grads(model, params)["params"]["roi_heads"]
-        grads_by_flag[flag] = g
-        assert total_abs(g["box_predictor"]) > 0, flag
-    assert total_abs(grads_by_flag[True]["attention"]) == 0.0
-    assert total_abs(grads_by_flag[False]["attention"]) > 0
+        cfg = get_cfg()
+        cfg.MODEL.BACKBONE.FREEZE_AT = 0
+        cfg.MODEL.ADDITION.FREEZEATTENTION = flag
+        tx, _ = build_optimizer(cfg, params["params"])
+        state = tx.init(params["params"])
+        upd, _ = tx.update(grads, state, params["params"])
+        updates_by_flag[flag] = upd["roi_heads"]
+        assert total_abs(upd["roi_heads"]["box_predictor"]) > 0, flag
+    assert total_abs(updates_by_flag[True]["attention"]) == 0.0
+    assert total_abs(updates_by_flag[False]["attention"]) > 0
+
+
+def test_siamese_attention_init_contexts():
+    """Two reference construction contexts (attentive_modules.py):
+    Sematic/LV heads re-init EVERY Linear inside the attention — incl. the
+    FFN — to N(0, 0.02) (_init_parameters :181-189 via :248/:376/:572);
+    GeneralizedTextAttRCNN keeps the as-constructed init, i.e. w_q/w_k/w_v
+    ~ N(0, sqrt(2/(d+d))) (:95-100) and torch-default linears."""
+    d = 64
+    x = jnp.zeros((1, 5, d))
+    p = SingleHeadSiameseAttention(d).init(
+        jax.random.PRNGKey(0), x, x, x
+    )["params"]
+    for name in ("w_q", "w_k", "w_v", "linear1", "linear2", "linear3"):
+        std = float(np.asarray(p[name]["kernel"]).std())
+        assert 0.012 < std < 0.03, (name, std)
+    for name in ("linear1", "linear2"):
+        std = float(np.asarray(p["ffn"][name]["kernel"]).std())
+        assert 0.012 < std < 0.03, ("ffn", name, std)
+
+    p0 = SingleHeadSiameseAttention(d, reinit_scale=None).init(
+        jax.random.PRNGKey(0), x, x, x
+    )["params"]
+    # sqrt(2/(d+d)) = 0.125 for d=64
+    for name in ("w_q", "w_k", "w_v"):
+        std = float(np.asarray(p0[name]["kernel"]).std())
+        assert 0.09 < std < 0.16, (name, std)
+    # torch default U(±1/sqrt(fan_in=64)) -> std 0.125/sqrt(3) ~ 0.072
+    std = float(np.asarray(p0["ffn"]["linear1"]["kernel"]).std())
+    assert 0.05 < std < 0.10, std
 
 
 def test_l2_cosine_switches_student_feature_loss():
