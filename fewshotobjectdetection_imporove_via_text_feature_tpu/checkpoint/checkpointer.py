@@ -28,6 +28,18 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def load_checkpoint_file(path: str) -> Dict[str, Any]:
+    """Restore a checkpoint saved by either backend: an orbax directory
+    checkpoint or a single-file pickle .ckpt. The ONE format dispatch —
+    the weight importer and surgery tool route through here too."""
+    if os.path.isdir(path):  # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 class Checkpointer:
     def __init__(self, save_dir: str, backend: str = "pickle"):
         self.save_dir = save_dir
@@ -58,10 +70,7 @@ class Checkpointer:
         return path
 
     def load(self, path: str) -> Dict[str, Any]:
-        if os.path.isdir(path):  # orbax directory checkpoint
-            return self._orbax_ckpt().restore(os.path.abspath(path))
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        return load_checkpoint_file(path)
 
     def has_checkpoint(self) -> bool:
         return os.path.exists(os.path.join(self.save_dir, "last_checkpoint"))

@@ -287,29 +287,35 @@ def apply_weight_dict(
     return traverse_util.unflatten_dict(flat), matched, skipped
 
 
+def _merge_our_state(state: Dict, params: Dict):
+    """Merge one of OUR saved states ({params, ...} or bare params) into
+    ``params`` by matching path + shape."""
+    src = state["params"] if "params" in state else state
+    flat_src = traverse_util.flatten_dict(src)
+    flat_dst = traverse_util.flatten_dict(params)
+    matched = 0
+    skipped = []
+    for k, v in flat_src.items():
+        if k in flat_dst and flat_dst[k].shape == v.shape:
+            flat_dst[k] = v
+            matched += 1
+        else:
+            skipped.append("/".join(map(str, k)))
+    return traverse_util.unflatten_dict(flat_dst), matched, skipped
+
+
 def load_reference_weights(path: str, params: Dict):
-    """Load .pkl (Caffe2) / .pth (torch) / .ckpt (ours) into params."""
+    """Load .pkl (Caffe2) / .pth (torch) / .ckpt or orbax dir (ours)."""
+    import os
+
     if path.endswith(".pkl"):
         named = load_c2_pkl(path)
         new, matched, skipped = apply_weight_dict(params, named, _c2_to_ours)
         return new, matched, skipped
-    if path.endswith(".ckpt"):
-        import pickle as pkl
+    if os.path.isdir(path) or path.endswith(".ckpt"):  # ours
+        from .checkpointer import load_checkpoint_file
 
-        with open(path, "rb") as f:
-            state = pkl.load(f)
-        src = state["params"] if "params" in state else state
-        flat_src = traverse_util.flatten_dict(src)
-        flat_dst = traverse_util.flatten_dict(params)
-        matched = 0
-        skipped = []
-        for k, v in flat_src.items():
-            if k in flat_dst and flat_dst[k].shape == v.shape:
-                flat_dst[k] = v
-                matched += 1
-            else:
-                skipped.append("/".join(map(str, k)))
-        return traverse_util.unflatten_dict(flat_dst), matched, skipped
+        return _merge_our_state(load_checkpoint_file(path), params)
     # torch .pth
     import torch
 

@@ -33,15 +33,21 @@ def upgrade_config(cfg_dict: dict, to_version: int = LATEST_VERSION) -> dict:
 
 
 def _rename(d: dict, old: str, new: str):
-    node = d
     parts = old.split(".")
+    chain = [d]
     for p in parts[:-1]:
-        node = node.get(p)
-        if node is None:
+        nxt = chain[-1].get(p)
+        if nxt is None:
             return
+        chain.append(nxt)
+    node = chain[-1]
     if parts[-1] not in node:
         return
     value = node.pop(parts[-1])
+    # prune now-empty parents so the strict merge never sees the old node
+    for i in range(len(chain) - 1, 0, -1):
+        if not chain[i]:
+            del chain[i - 1][parts[i - 1]]
     tgt = d
     nparts = new.split(".")
     for p in nparts[:-1]:

@@ -46,6 +46,13 @@ class CfgNode(dict):
 
     def merge_from_file(self, cfg_filename: str, allow_unsafe: bool = True) -> None:
         loaded = _load_yaml_with_base(cfg_filename)
+        # older-VERSION configs go through the compat rename table before
+        # the strict merge, like the reference's fvcore loader
+        # (config/compat.py upgrade; ref defrcn/config/compat.py)
+        from .compat import LATEST_VERSION, upgrade_config
+
+        if loaded.get("VERSION", LATEST_VERSION) < LATEST_VERSION:
+            loaded = upgrade_config(loaded)
         _merge(loaded, self, allow_new=False)
 
     def merge_from_list(self, opts: list) -> None:
@@ -105,7 +112,11 @@ def _coerce_merged(new: Any, old: Any) -> Any:
 
 
 def _coerce(v: str, old: Any) -> Any:
-    """Parse a CLI/YAML string override against the default's type."""
+    """Parse a CLI/YAML string override against the default's type.
+
+    Type mismatches RAISE like yacs's _check_and_coerce_cfg_value_type —
+    notably `--opts MODEL.RPN.FREEZE false` (lowercase) must not silently
+    store the truthy string 'false'."""
     if not isinstance(v, str):
         return v
     try:
@@ -114,8 +125,21 @@ def _coerce(v: str, old: Any) -> Any:
         parsed = v
     if isinstance(old, tuple) and isinstance(parsed, (list, tuple)):
         return tuple(parsed)
-    if isinstance(old, bool) and isinstance(parsed, int):
-        return bool(parsed)
+    if isinstance(old, bool):
+        if isinstance(parsed, (bool, int)):
+            return bool(parsed)
+        if isinstance(parsed, str) and parsed.lower() in ("true", "false"):
+            return parsed.lower() == "true"
+        raise ValueError(f"Cannot interpret {v!r} as a bool override")
+    if (
+        isinstance(parsed, str)
+        and old is not None
+        and not isinstance(old, str)
+    ):
+        raise ValueError(
+            f"Cannot interpret override {v!r} for a "
+            f"{type(old).__name__}-typed config value"
+        )
     return parsed
 
 

@@ -18,6 +18,26 @@ from PIL import Image
 __all__ = ["DatasetMapper", "pick_bucket", "resize_shortest_edge_size"]
 
 
+def _open_oriented(file_name: str):
+    """Open an image with EXIF orientation applied, like the reference's
+    read_image -> _apply_exif_orientation (d2 detection_utils; annotations
+    describe the displayed orientation). Returns (img, oriented): the
+    orientation tag is read from the lazy header, and the pixel transpose
+    only happens for the rare rotated file; `oriented` tells callers the
+    stored pixels differ from the displayed ones (so the raw libjpeg
+    decode path must not be used)."""
+    img = Image.open(file_name)  # header only (lazy decode)
+    try:
+        orientation = img.getexif().get(0x0112, 1)
+    except Exception:
+        orientation = 1
+    if orientation == 1:
+        return img, False
+    from PIL import ImageOps
+
+    return ImageOps.exif_transpose(img), True
+
+
 def resize_shortest_edge_size(h, w, short, max_size):
     """detectron2 ResizeShortestEdge.get_output_shape semantics."""
     scale = short / min(h, w)
@@ -93,6 +113,13 @@ class DatasetMapper:
         if h0 is None or w0 is None:  # metadata missing: read the header
             with Image.open(record["file_name"]) as img:
                 w0, h0 = img.size
+                # DISPLAYED size, like the decode paths (_open_oriented):
+                # orientations 5-8 transpose the stored dimensions
+                try:
+                    if img.getexif().get(0x0112, 1) in (5, 6, 7, 8):
+                        w0, h0 = h0, w0
+                except Exception:
+                    pass
         short = (
             self.min_sizes[rng.randint(len(self.min_sizes))]
             if self.is_train
@@ -123,7 +150,8 @@ class DatasetMapper:
         (data/xla_preprocess.py)."""
         from .xla_preprocess import scale_boxes
 
-        img = Image.open(record["file_name"]).convert("RGB")
+        img, _ = _open_oriented(record["file_name"])
+        img = img.convert("RGB")
         w0, h0 = img.size
         arr = np.asarray(img, np.uint8)
         if self.image_format == "BGR":
@@ -180,7 +208,7 @@ class DatasetMapper:
         }
 
     def _call_host(self, record: Dict, plan: Dict):
-        img = Image.open(record["file_name"])  # header only (lazy decode)
+        img, oriented = _open_oriented(record["file_name"])
         w0, h0 = img.size
 
         short = plan["short"]
@@ -198,7 +226,10 @@ class DatasetMapper:
             )
 
         padded = None
-        if self.native_io:
+        # EXIF-rotated files can't use the raw libjpeg path (it decodes
+        # stored pixels; the reference's read_image applies orientation
+        # first, d2 detection_utils._apply_exif_orientation)
+        if self.native_io and not oriented:
             from . import native_io
 
             res = native_io.load_image(

@@ -139,7 +139,12 @@ class PrototypicalCalibrationBlock:
 
     @staticmethod
     def _load_padded(file_name):
-        img = np.asarray(Image.open(file_name).convert("RGB"), np.uint8)
+        # cv2.imread (the reference's loader, calibration_layer.py:108)
+        # applies EXIF orientation; match it
+        from ..data.mapper import _open_oriented
+
+        img, _ = _open_oriented(file_name)
+        img = np.asarray(img.convert("RGB"), np.uint8)
         h, w = img.shape[:2]
         bh, bw = _bucket(h, w)
         padded = np.zeros((bh, bw, 3), np.uint8)

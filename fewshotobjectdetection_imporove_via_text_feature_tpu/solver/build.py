@@ -83,6 +83,16 @@ def _path_masks(cfg, params):
     def is_bias(path):
         return path.split("/")[-1] == "bias"
 
+    def is_norm_param(path):
+        # live (trainable) norm modules: the attention FFN LayerNorm
+        # ("norm3"). The reference puts ALL params of norm module types —
+        # weight AND bias — in the WEIGHT_DECAY_NORM group at plain
+        # BASE_LR (d2 build_optimizer norm_module_types branch, which wins
+        # over the bias branch). FrozenBN params are handled by the frozen
+        # mask.
+        parts = path.split("/")
+        return len(parts) >= 2 and parts[-2].startswith("norm")
+
     freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
     if cfg.MODEL.BACKBONE.FREEZE:
         freeze_at = 4
@@ -111,26 +121,58 @@ def _path_masks(cfg, params):
         return False
 
     frozen = {k: is_frozen(k) for k in flat}
-    bias = {k: (not frozen[k]) and is_bias(k) for k in flat}
-    regular = {k: (not frozen[k]) and not is_bias(k) for k in flat}
+    norm = {k: (not frozen[k]) and is_norm_param(k) for k in flat}
+    bias = {
+        k: (not frozen[k]) and (not norm[k]) and is_bias(k) for k in flat
+    }
+    regular = {
+        k: (not frozen[k]) and (not norm[k]) and not is_bias(k)
+        for k in flat
+    }
 
     def unflat(d):
         return traverse_util.unflatten_dict(
             {tuple(k.split("/")): v for k, v in d.items()}
         )
 
-    return unflat(frozen), unflat(bias), unflat(regular)
+    return unflat(frozen), unflat(bias), unflat(regular), unflat(norm)
+
+
+def _clip_each_param_norm(max_norm: float, norm_type: float = 2.0):
+    """Per-parameter norm clipping — the reference registers every param
+    as its own group, so d2's clip_grad_norm_ clips EACH tensor's norm to
+    CLIP_VALUE independently (defrcn/solver/build.py:23-47), unlike a
+    global-norm rescale. Matches torch's clip_coef = max/(norm + 1e-6)."""
+
+    def clip_leaf(g):
+        g32 = g.astype(jnp.float32)
+        if math.isinf(norm_type):
+            n = jnp.max(jnp.abs(g32))
+        else:
+            n = jnp.sum(jnp.abs(g32) ** norm_type) ** (1.0 / norm_type)
+        scale = jnp.minimum(1.0, max_norm / (n + 1e-6))
+        return (g32 * scale).astype(g.dtype)
+
+    def update_fn(updates, state, params=None):
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update_fn
+    )
 
 
 def build_optimizer(cfg, params):
     schedule = build_lr_scheduler(cfg)
-    frozen, bias_mask, regular_mask = _path_masks(cfg, params)
+    frozen, bias_mask, regular_mask, norm_mask = _path_masks(cfg, params)
 
     chain = []
     if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
         if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "norm":
             chain.append(
-                optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE)
+                _clip_each_param_norm(
+                    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE,
+                    float(cfg.SOLVER.CLIP_GRADIENTS.NORM_TYPE),
+                )
             )
         else:
             chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
@@ -141,6 +183,9 @@ def build_optimizer(cfg, params):
         ),
         optax.masked(
             optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY_BIAS), bias_mask
+        ),
+        optax.masked(
+            optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY_NORM), norm_mask
         ),
         optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV),
     ]

@@ -27,7 +27,16 @@ def get_class_name(cfg):
             else:
                 classes = PASCAL_VOC_NOVEL_CATEGORIES[int(sid_token[-1])]
         if "all" in dataset:
-            classes = PASCAL_VOC_ALL_CATEGORIES[int(dataset.split("_")[-3][-1])]
+            # seed-aware like the novel branch (the reference's [-3] parse
+            # only fits seeded few-shot names and raises KeyError on
+            # static names like voc_2007_trainval_all1)
+            sid_token = dataset.split("_")[-1]
+            if sid_token.startswith("seed"):
+                classes = PASCAL_VOC_ALL_CATEGORIES[
+                    int(dataset.split("_")[-3][-1])
+                ]
+            else:
+                classes = PASCAL_VOC_ALL_CATEGORIES[int(sid_token[-1])]
     if "coco" in dataset:
         ret = _get_coco_fewshot_instances_meta()
         if "base" in dataset:

@@ -73,11 +73,28 @@ def verify_results(cfg, results) -> bool:
     expected = cfg.TEST.EXPECTED_RESULTS
     if not expected:
         return True
+    import numpy as np
+
     ok = True
-    flat = flatten_results_dict(results)
     for task, metric, expected_val, tolerance in expected:
-        actual = results[task][metric]
-        if abs(actual - expected_val) > tolerance:
+        actual = results.get(task, {}).get(metric)
+        if actual is None:
+            # robustness beyond the reference (which would KeyError on a
+            # typo'd metric): a missing metric is a FAILED verification,
+            # not a crash
+            ok = False
+            logger.error(
+                "Result verification failed: %s/%s missing from results",
+                task, metric,
+            )
+            continue
+        if not np.isfinite(actual):  # ref testing.py:41-42
+            ok = False
+            logger.error(
+                "Result verification failed: %s/%s is not finite (%r)",
+                task, metric, actual,
+            )
+        elif abs(actual - expected_val) > tolerance:
             ok = False
             logger.error(
                 "Result verification failed: %s/%s = %.4f (expected %.4f ± %.4f)",

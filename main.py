@@ -223,6 +223,29 @@ def main():
     register_all(os.environ.get("FSODTF_DATASETS", "datasets"))
 
     if args.eval_only:
+        # --eval-iter N evaluates OUTPUT_DIR's model_{N:07d} checkpoint
+        # (upstream DeFRCN's eval-by-iteration workflow; this fork's
+        # reference parses the flag but dropped the consuming code — we
+        # keep the behavior rather than silently ignoring the flag)
+        if args.eval_iter >= 0:
+            # periodic checkpoints carry the 0-based iteration (saved when
+            # (it+1) % period == 0 -> model_0000999 for period 1000), so a
+            # period-multiple --eval-iter resolves to N-1; accept both
+            candidates = [
+                os.path.join(cfg.OUTPUT_DIR, f"model_{i:07d}{ext}")
+                for i in (args.eval_iter, args.eval_iter - 1)
+                for ext in (".ckpt", ".orbax")
+                if i >= 0
+            ]
+            found = next(
+                (c for c in candidates if os.path.exists(c)), None
+            )
+            if found is None:
+                raise FileNotFoundError(
+                    f"--eval-iter {args.eval_iter}: none of "
+                    f"{candidates} exist"
+                )
+            cfg.MODEL.WEIGHTS = found
         return do_test(cfg)
 
     from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (

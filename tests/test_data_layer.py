@@ -159,6 +159,42 @@ def test_voc_few_shot_multi_instance_pool(tmp_path):
     ]
 
 
+def test_mapper_applies_exif_orientation(tmp_path):
+    """EXIF-rotated JPEGs decode in DISPLAYED orientation (the reference's
+    read_image applies _apply_exif_orientation before any transform);
+    the raw libjpeg fast path must be bypassed for such files."""
+    from PIL import Image as PILImage, ImageOps
+
+    rng = np.random.RandomState(0)
+    stored = rng.randint(0, 255, (40, 60, 3), np.uint8)  # stored h=40 w=60
+    p = tmp_path / "rot.jpg"
+    e = PILImage.Exif()
+    e[0x0112] = 6  # 90-degree rotation: displayed size is 60x40
+    PILImage.fromarray(stored).save(
+        str(p), format="JPEG", quality=95, exif=e.tobytes()
+    )
+    displayed = np.asarray(
+        ImageOps.exif_transpose(PILImage.open(str(p))).convert("RGB")
+    )
+    assert displayed.shape[:2] == (60, 40)
+
+    record = {
+        "file_name": str(p), "image_id": "rot",
+        "height": 60, "width": 40,
+        "annotations": [{"category_id": 0, "bbox": [5.0, 5.0, 30.0, 50.0]}],
+    }
+    mapper = DatasetMapper(
+        is_train=False, min_size=40, max_size=100, buckets=[(64, 64)],
+        max_gt=5, random_flip=False,
+    )
+    item = mapper(record, np.random.RandomState(0))
+    h, w = item["hw"]
+    assert (h, w) == (60, 40)
+    np.testing.assert_array_equal(
+        item["image"][:h, :w], displayed[:, :, ::-1]  # BGR
+    )
+
+
 def test_mapper_fixed_shapes(tmp_path):
     d, ids = make_voc(str(tmp_path))
     classes = PASCAL_VOC_ALL_CATEGORIES[1]

@@ -65,3 +65,27 @@ def test_upgrade_config_renames():
 def test_upgrade_config_noop_at_latest():
     d = {"VERSION": 2, "MODEL": {"RPN": {"NMS_THRESH": 0.7}}}
     assert upgrade_config(dict(d)) == d
+
+
+def test_merge_from_file_upgrades_v1_configs(tmp_path):
+    """merge_from_file routes VERSION-1 YAMLs through the compat rename
+    table before the strict merge (the fvcore loader analog) instead of
+    raising on the old key."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+
+    p = tmp_path / "v1.yaml"
+    p.write_text(
+        "VERSION: 1\n"
+        "MODEL:\n"
+        "  RPN_HEAD:\n"
+        "    NAME: StandardRPNHead\n"
+        "  RPN:\n"
+        "    RPN_STRADDLE_THRESH: 0\n"
+    )
+    cfg = get_cfg()
+    cfg.merge_from_file(str(p))
+    assert cfg.MODEL.RPN.HEAD_NAME == "StandardRPNHead"
+    assert cfg.MODEL.RPN.BOUNDARY_THRESH == 0
+    assert cfg.VERSION == 2

@@ -125,7 +125,10 @@ def parsed_model_combos():
 
 
 def parse_script_pairs_from_text(text):
-    toks = text.split()
+    # shell-quote-aware: a cfg_MODEL="... 30000" block's closing quote
+    # must not stick to the last value token
+    toks = [t.strip('"').strip("'") for t in text.split()]
+    toks = [t for t in toks if t]
     pairs = []
     i = 0
     while i < len(toks) - 1:

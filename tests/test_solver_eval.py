@@ -245,3 +245,80 @@ def test_optimizer_freeze_switches_match_novel_finetune_recipe():
     assert tot(updates["roi_heads"]["res5"]) == 0  # FREEZE_FEAT
     assert tot(updates["roi_heads"]["box_predictor"]) > 0
     assert tot(updates["affine_rcnn"]) > 0        # GDL affine stays live
+
+
+def test_norm_params_get_weight_decay_norm_group():
+    """d2 build_optimizer puts norm-module params (weight AND bias) in the
+    WEIGHT_DECAY_NORM group at plain BASE_LR (ref solver/build.py:94-128):
+    with zero gradients, decay alone drives the update — zero for norm
+    params (WEIGHT_DECAY_NORM=0.0) and nonzero for regular/bias params."""
+    import optax
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.SOLVER.WARMUP_ITERS = 0
+    params = {
+        "roi_heads": {
+            "attention": {
+                "ffn": {
+                    "linear1": {
+                        "kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))
+                    },
+                    "norm3": {
+                        "scale": jnp.ones((4,)), "bias": jnp.ones((4,))
+                    },
+                },
+            },
+        },
+    }
+    tx, _ = build_optimizer(cfg, params)
+    state = tx.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd, _ = tx.update(zeros, state, params)
+    ffn = upd["roi_heads"]["attention"]["ffn"]
+    # regular weight + bias decay (5e-5 each by default)
+    assert float(jnp.abs(ffn["linear1"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(ffn["linear1"]["bias"]).sum()) > 0
+    # LayerNorm scale AND bias: WEIGHT_DECAY_NORM = 0.0 -> no update
+    assert float(jnp.abs(ffn["norm3"]["scale"]).sum()) == 0
+    assert float(jnp.abs(ffn["norm3"]["bias"]).sum()) == 0
+
+
+def test_clip_each_param_norm_is_per_tensor():
+    """CLIP_TYPE 'norm' clips each parameter's gradient norm independently
+    (the reference registers every param as its own group, so
+    clip_grad_norm_ acts per tensor) — NOT a global-norm rescale."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.solver.build import (
+        _clip_each_param_norm,
+    )
+
+    tx = _clip_each_param_norm(1.0, 2.0)
+    g = {
+        "small": jnp.asarray([0.06, 0.08]),       # norm 0.1 -> untouched
+        "big": jnp.asarray([3.0, 4.0]),           # norm 5.0 -> scaled to 1
+    }
+    out, _ = tx.update(g, tx.init(g))
+    np.testing.assert_allclose(np.asarray(out["small"]), [0.06, 0.08])
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["big"])), 1.0, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["big"]) / np.asarray([3.0, 4.0]),
+        [0.2, 0.2], rtol=1e-4,
+    )
+
+
+def test_config_bool_coercion_and_type_mismatch():
+    """yacs-style type safety: lowercase 'false' parses to False instead
+    of becoming a truthy string; garbage for a typed value raises."""
+    import pytest
+
+    cfg = get_cfg()
+    cfg.merge_from_list(["MODEL.RPN.FREEZE", "false"])
+    assert cfg.MODEL.RPN.FREEZE is False
+    cfg.merge_from_list(["MODEL.RPN.FREEZE", "True"])
+    assert cfg.MODEL.RPN.FREEZE is True
+    with pytest.raises(ValueError):
+        cfg.merge_from_list(["MODEL.RPN.FREEZE", "maybe"])
+    with pytest.raises(ValueError):
+        cfg.merge_from_list(["SOLVER.BASE_LR", "fast"])

@@ -19,8 +19,11 @@ from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery imp
 
 
 def load_state(path):
-    with open(path, "rb") as f:
-        return pickle.load(f)
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.checkpointer import (
+        load_checkpoint_file,
+    )
+
+    return load_checkpoint_file(path)
 
 
 def save_state(state, path):
