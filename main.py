@@ -69,6 +69,27 @@ def setup(args):
     return cfg
 
 
+def resolve_eval_iter_checkpoint(output_dir: str, eval_iter: int) -> str:
+    """--eval-iter N -> OUTPUT_DIR's iteration checkpoint. Periodic
+    checkpoints carry the 0-based iteration (saved when (it+1) % period
+    == 0 -> model_0000999 for period 1000), so a period-multiple N
+    resolves to N-1; both namings are accepted, in either backend
+    format. (Upstream DeFRCN's eval-by-iteration workflow; this fork's
+    reference parses the flag but dropped the consuming code.)"""
+    candidates = [
+        os.path.join(output_dir, f"model_{i:07d}{ext}")
+        for i in (eval_iter, eval_iter - 1)
+        for ext in (".ckpt", ".orbax")
+        if i >= 0
+    ]
+    found = next((c for c in candidates if os.path.exists(c)), None)
+    if found is None:
+        raise FileNotFoundError(
+            f"--eval-iter {eval_iter}: none of {candidates} exist"
+        )
+    return found
+
+
 def build_evaluator(cfg, dataset_name, output_dir):
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         MetadataCatalog,
@@ -228,24 +249,9 @@ def main():
         # reference parses the flag but dropped the consuming code — we
         # keep the behavior rather than silently ignoring the flag)
         if args.eval_iter >= 0:
-            # periodic checkpoints carry the 0-based iteration (saved when
-            # (it+1) % period == 0 -> model_0000999 for period 1000), so a
-            # period-multiple --eval-iter resolves to N-1; accept both
-            candidates = [
-                os.path.join(cfg.OUTPUT_DIR, f"model_{i:07d}{ext}")
-                for i in (args.eval_iter, args.eval_iter - 1)
-                for ext in (".ckpt", ".orbax")
-                if i >= 0
-            ]
-            found = next(
-                (c for c in candidates if os.path.exists(c)), None
+            cfg.MODEL.WEIGHTS = resolve_eval_iter_checkpoint(
+                cfg.OUTPUT_DIR, args.eval_iter
             )
-            if found is None:
-                raise FileNotFoundError(
-                    f"--eval-iter {args.eval_iter}: none of "
-                    f"{candidates} exist"
-                )
-            cfg.MODEL.WEIGHTS = found
         return do_test(cfg)
 
     from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (

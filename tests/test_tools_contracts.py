@@ -178,3 +178,30 @@ def test_bench_text_recipe_matches_cited_script():
     assert m.distill_l2 is False
     assert m.num_classes == 15
     assert float(m.kl_temp) == 5.0
+
+
+def test_resolve_eval_iter_checkpoint(tmp_path):
+    """--eval-iter N accepts both the exact name and the 0-based periodic
+    name N-1, preferring the exact one; missing -> FileNotFoundError."""
+    import pytest
+
+    import main as cli
+
+    d = str(tmp_path)
+    open(os.path.join(d, "model_0000999.ckpt"), "w").close()
+    # the period-multiple the flag is naturally used with
+    assert cli.resolve_eval_iter_checkpoint(d, 1000).endswith(
+        "model_0000999.ckpt"
+    )
+    # exact name wins when both exist
+    open(os.path.join(d, "model_0001000.ckpt"), "w").close()
+    assert cli.resolve_eval_iter_checkpoint(d, 1000).endswith(
+        "model_0001000.ckpt"
+    )
+    # orbax directory checkpoints resolve too
+    os.makedirs(os.path.join(d, "model_0001999.orbax"))
+    assert cli.resolve_eval_iter_checkpoint(d, 2000).endswith(
+        "model_0001999.orbax"
+    )
+    with pytest.raises(FileNotFoundError):
+        cli.resolve_eval_iter_checkpoint(d, 500)
