@@ -111,8 +111,15 @@ def _text_head_kwargs(cfg):
         model = "glove"
     try:
         names = get_class_name(cfg)
-    except (ValueError, IndexError, KeyError):
-        return {}
+    except (ValueError, IndexError) as e:
+        # every head/meta-arch reaching this point REQUIRES the bank; a
+        # silent {} here used to surface later as an opaque NoneType
+        # .shape crash inside the attention module
+        raise ValueError(
+            f"{cfg.MODEL.META_ARCHITECTURE}/{name} needs a class-embedding "
+            f"bank but the class names could not be resolved from "
+            f"DATASETS.TRAIN={tuple(cfg.DATASETS.TRAIN)!r}: {e}"
+        ) from e
     bank = get_class_embed(
         names, model, root=cfg.MODEL.ADDITION.EMBEDDING_PATH
     )

@@ -13,6 +13,12 @@ per SURVEY.md §1 — broken/dead branches are fixed, each deviation noted):
     L2/cosine feature distill + KL logit distill. The reference's
     inference branch crashes on an undefined name (roi_heads.py:830-836);
     we implement the intent: student-only inference.
+    Deviation (deliberate): the distillation targets are DETACHED — the
+    reference passes teacher logits/features into loss_fn_kd_only and the
+    adapter L2 undetached (roi_heads.py:758-765), so a cold student's
+    huge early KL/L2 gradients also shove the teacher and shared
+    backbone; stop_gradient keeps the distill losses one-directional
+    (standard KD), which is markedly more stable in stage-2 fine-tuning.
   * GeneralizedSemanticRCNN — rcnn.py:121-206: paints per-pixel class
     embedding maps inside GT boxes (bg = learned vector), projects
     sem->vis with a 1x1 conv and REPLACES the backbone features.

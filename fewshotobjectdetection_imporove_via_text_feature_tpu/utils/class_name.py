@@ -11,42 +11,62 @@ from ..data.builtin_meta import (
 )
 
 
+def _voc_split_id(dataset: str, kind: str) -> int:
+    """Split id for a VOC dataset name: the digit of the `{kind}{N}` token
+    wherever it sits (voc_2007_trainval_all1, ..._all1_2shot_seed0,
+    custom-registered ..._all1_t_train all resolve); falls back to the
+    reference's positional parses ([-1] / seed-aware [-3],
+    class_name.py:8-20)."""
+    import re
+
+    for tok in dataset.split("_"):
+        m = re.fullmatch(rf"{kind}(\d)", tok)
+        if m:
+            return int(m.group(1))
+    toks = dataset.split("_")
+    if toks[-1].startswith("seed"):
+        return int(toks[-3][-1])
+    return int(toks[-1][-1])
+
+
 def get_class_name(cfg):
     dataset = cfg.DATASETS.TRAIN[0]
     classes = None
-    if "voc" in dataset:
-        if "base" in dataset:
-            classes = PASCAL_VOC_BASE_CATEGORIES[int(dataset.split("_")[-1][-1])]
-        if "novel" in dataset:
-            sid_token = dataset.split("_")[-1]
-            # few-shot names end with seedN; the split id sits 3 tokens back
-            if sid_token.startswith("seed"):
+    try:
+        if "voc" in dataset:
+            if "base" in dataset:
+                classes = PASCAL_VOC_BASE_CATEGORIES[
+                    _voc_split_id(dataset, "base")
+                ]
+            if "novel" in dataset:
                 classes = PASCAL_VOC_NOVEL_CATEGORIES[
-                    int(dataset.split("_")[-3][-1])
+                    _voc_split_id(dataset, "novel")
                 ]
-            else:
-                classes = PASCAL_VOC_NOVEL_CATEGORIES[int(sid_token[-1])]
-        if "all" in dataset:
-            # seed-aware like the novel branch (the reference's [-3] parse
-            # only fits seeded few-shot names and raises KeyError on
-            # static names like voc_2007_trainval_all1)
-            sid_token = dataset.split("_")[-1]
-            if sid_token.startswith("seed"):
+            if "all" in dataset:
                 classes = PASCAL_VOC_ALL_CATEGORIES[
-                    int(dataset.split("_")[-3][-1])
+                    _voc_split_id(dataset, "all")
                 ]
-            else:
-                classes = PASCAL_VOC_ALL_CATEGORIES[int(sid_token[-1])]
-    if "coco" in dataset:
-        ret = _get_coco_fewshot_instances_meta()
-        if "base" in dataset:
-            classes = ret["base_classes"]
-        if "novel" in dataset:
-            classes = ret["novel_classes"]
-        if "all" in dataset:
-            classes = ret["thing_classes"]
+        if "coco" in dataset:
+            ret = _get_coco_fewshot_instances_meta()
+            if "base" in dataset:
+                classes = ret["base_classes"]
+            if "novel" in dataset:
+                classes = ret["novel_classes"]
+            if "all" in dataset:
+                classes = ret["thing_classes"]
+    except (ValueError, KeyError, IndexError):
+        classes = None
     if classes is None:
-        raise ValueError(f"cannot resolve class names for {dataset}")
+        # names the grammar can't parse (custom registrations): the
+        # catalog knows their true class list
+        try:
+            from ..data.catalog import MetadataCatalog
+
+            classes = list(MetadataCatalog.get(dataset).thing_classes)
+        except Exception:
+            classes = None
+    if classes is None:
+        raise ValueError(f"cannot resolve class names for {dataset!r}")
     return classes
 
 

@@ -24,6 +24,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor FSODTF_PLATFORM (e.g. =cpu) BEFORE any jax backend init -- env
+# vars alone cannot override the container's axon default (NOTES.md)
+if os.environ.get("FSODTF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["FSODTF_PLATFORM"])
+
 import numpy as np
 
 
