@@ -34,6 +34,13 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, "tools")
 
+# honor FSODTF_PLATFORM (e.g. =cpu) BEFORE any jax backend init -- env
+# vars alone cannot override the container's axon default (NOTES.md)
+if os.environ.get("FSODTF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["FSODTF_PLATFORM"])
+
 import numpy as np
 
 from overfit_map_check import make_visual_voc
@@ -89,7 +96,7 @@ def _base_cfg(get_cfg, production):
     cfg.TEST.EVAL_PERIOD = 0
     cfg.DATASETS.TRAIN = ("voc_distof_all1_t_train",)
     cfg.DATASETS.TEST = ("voc_distof_all1_t_test",)
-    cfg.SEED = 11
+    cfg.SEED = int(os.environ.get("FSODTF_OVERFIT_SEED", "11"))
     return cfg
 
 
@@ -153,9 +160,15 @@ def main(production=False):
     # ---- stage 1: converge the teacher (and a CE student) ----
     cfg1 = _base_cfg(get_cfg, production)
     cfg1.MODEL.ROI_HEADS.DISTILLATE = False
-    cfg1.SOLVER.MAX_ITER = 300 if production else 400
+    # lr 0.02 on the 6-image set can fall into an all-background
+    # equilibrium depending on the init draw (seed 12 collapsed in
+    # stage 1 itself, fg accuracy 0 at iter 399); halve the LR and give
+    # it longer — convergence is then init-robust
+    cfg1.SOLVER.BASE_LR = 0.005 if production else 0.01
+    cfg1.SOLVER.WARMUP_ITERS = 100
+    cfg1.SOLVER.MAX_ITER = 400 if production else 600
     cfg1.SOLVER.STEPS = (
-        (220, 270) if production else (300, 360)
+        (300, 360) if production else (450, 540)
     )
     cfg1.OUTPUT_DIR = os.path.join(root, "stage1")
     tr1 = Trainer(cfg1)
@@ -176,6 +189,32 @@ def main(production=False):
     cfg2.SOLVER.STEPS = (
         (300, 360) if production else (520, 620)
     )
+    # Stage 2 runs under the reference's ACTUAL novel-fine-tune gradient
+    # contract (defrcn_gfsod_r101_novelx_10shot_seedx.yaml:9-18): GDL
+    # attenuation RPN lambda=0 / RCNN lambda=0.001 plus FREEZE_FEAT, so
+    # the cold student's enormous early KL (x T^2 = 25) and adapter-L2
+    # gradients cannot wreck the loaded backbone/RPN. Without these the
+    # check sat on a knife edge (seed sweep 2026-08-17: full-backprop
+    # stage 2 collapsed into an all-background equilibrium for seeds
+    # 12/13 on every commit tried, and seed 11 flipped on a 1e-9/step
+    # optimizer perturbation). The reference never fine-tunes a student
+    # without this decoupling.
+    cfg2.MODEL.RPN.BACKWARD_SCALE = 0.0
+    cfg2.MODEL.ROI_HEADS.BACKWARD_SCALE = 0.001
+    cfg2.MODEL.ROI_HEADS.FREEZE_FEAT = True
+    cfg2.SOLVER.BASE_LR = 0.01
+    # the ref novel recipe uses no warmup, but ITS student starts from the
+    # surgery checkpoint (only predictor rows are cold); this check
+    # re-randomizes the WHOLE student branch, and full LR at step 0 with
+    # loss_kl ~ 13 NaN-diverges — ramp in over the KL collapse
+    cfg2.SOLVER.WARMUP_ITERS = 100
+    # T=2 keeps the same distillation mechanism while shrinking the
+    # x T^2 loss scale 6x: at T=5 the cold student's KL shock (through
+    # the always-live GDL affines) tips the 6-image set into its
+    # all-background attractor for ~half the (seed, schedule) draws —
+    # the production KL_TEMP=5 recipe is step-smoked by bench.py and
+    # dryrun_multichip instead
+    cfg2.MODEL.ROI_HEADS.KL_TEMP = 2
     cfg2.OUTPUT_DIR = os.path.join(root, "stage2")
     tr2 = Trainer(cfg2)
 
