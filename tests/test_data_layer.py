@@ -227,3 +227,53 @@ def test_coco_meta_partition():
     assert len(meta["novel_classes"]) == 20
     assert len(meta["base_classes"]) == 60
     assert set(meta["novel_classes"]) & set(meta["base_classes"]) == set()
+
+
+def test_get_class_name_resolution():
+    """Split-id parsing: the {kind}{N} token resolves wherever it sits
+    (static names, seeded few-shot names, custom registrations), with a
+    MetadataCatalog fallback for names the grammar can't parse."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.builtin_meta import (
+        PASCAL_VOC_BASE_CATEGORIES,
+        PASCAL_VOC_NOVEL_CATEGORIES,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.catalog import (
+        DatasetCatalog,
+        MetadataCatalog,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.utils.class_name import (
+        get_class_name,
+    )
+
+    cfg = get_cfg()
+
+    def names_for(ds):
+        cfg.DATASETS.TRAIN = (ds,)
+        return get_class_name(cfg)
+
+    # static 'all' (the reference's [-3] parse KeyErrors on this)
+    assert names_for("voc_2007_trainval_all1") == PASCAL_VOC_ALL_CATEGORIES[1]
+    # seeded few-shot
+    assert (
+        names_for("voc_2007_trainval_all2_3shot_seed4")
+        == PASCAL_VOC_ALL_CATEGORIES[2]
+    )
+    assert (
+        names_for("voc_2007_trainval_novel3_1shot_seed0")
+        == PASCAL_VOC_NOVEL_CATEGORIES[3]
+    )
+    assert names_for("voc_2007_trainval_base2") == PASCAL_VOC_BASE_CATEGORIES[2]
+    # custom registration with extra trailing tokens
+    assert (
+        names_for("voc_custom_all1_t_train") == PASCAL_VOC_ALL_CATEGORIES[1]
+    )
+    # unparseable name falls back to the catalog's thing_classes
+    name = "my_weird_voc_all_set"
+    if name in DatasetCatalog:
+        DatasetCatalog._registry.pop(name)
+    DatasetCatalog.register(name, lambda: [])
+    MetadataCatalog.get(name).set(thing_classes=["a", "b"])
+    assert names_for(name) == ["a", "b"]
+    # totally unresolvable raises
+    with pytest.raises(ValueError):
+        names_for("voc_nothing_matches_here")
