@@ -1,4 +1,5 @@
-"""Checkpointer backends round-trip (pickle + orbax)."""
+"""Checkpointer backends round-trip (pickle + orbax), including the
+optimizer state (momentum buffers) and the last_checkpoint marker."""
 
 import numpy as np
 import optax
@@ -9,11 +10,21 @@ from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint import (
 )
 
 
-def _state():
+def _state(iteration=42, fill=None):
     params = {"layer": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4)}}
+    if fill is not None:
+        params["layer"]["kernel"] = np.full((3, 4), fill, np.float32)
     tx = optax.sgd(0.1, momentum=0.9)
     opt_state = tx.init(params)
-    return {"params": params, "opt_state": opt_state, "iteration": 42}
+    # give the momentum buffer a nonzero, recognizable value so a backend
+    # that drops/zeroes opt_state cannot pass the roundtrip
+    import jax
+
+    opt_state = jax.tree_util.tree_map(
+        lambda x: np.full_like(np.asarray(x), 0.25) if np.asarray(x).ndim else x,
+        opt_state,
+    )
+    return {"params": params, "opt_state": opt_state, "iteration": iteration}
 
 
 @pytest.mark.parametrize("backend", ["pickle", "orbax"])
@@ -28,13 +39,32 @@ def test_roundtrip(tmp_path, backend):
         back["params"]["layer"]["kernel"],
         state["params"]["layer"]["kernel"],
     )
+    # optimizer state (momentum) survives too — a resume with zeroed
+    # momentum is a silent accuracy regression
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves(back["opt_state"])
+    flat_b = jax.tree_util.tree_leaves(state["opt_state"])
+    assert len(flat_a) == len(flat_b) and len(flat_a) > 0
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
 def test_pickle_readable_after_orbax_switch(tmp_path):
+    # DISTINCT states: the marker must resolve to the newest (orbax) one
     ck = Checkpointer(str(tmp_path), backend="pickle")
-    ck.save(_state(), "a")
+    ck.save(_state(iteration=42, fill=1.0), "a")
     ck2 = Checkpointer(str(tmp_path), backend="orbax")
-    ck2.save(_state(), "b")
-    # latest is orbax; explicit pickle load still works
-    assert int(ck2.load_latest()["iteration"]) == 42
-    assert int(ck2.load(str(tmp_path / "a.ckpt"))["iteration"]) == 42
+    ck2.save(_state(iteration=43, fill=2.0), "b")
+    latest = ck2.load_latest()
+    assert int(latest["iteration"]) == 43
+    np.testing.assert_allclose(
+        np.asarray(latest["params"]["layer"]["kernel"]),
+        np.full((3, 4), 2.0),
+    )
+    # explicit pickle load still works
+    old = ck2.load(str(tmp_path / "a.ckpt"))
+    assert int(old["iteration"]) == 42
+    np.testing.assert_allclose(
+        np.asarray(old["params"]["layer"]["kernel"]), np.full((3, 4), 1.0)
+    )

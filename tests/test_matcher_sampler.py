@@ -64,6 +64,27 @@ def test_matcher_rpn_semantics_low_quality():
     assert all(ref_lab[iou[g].argmax()] == 1 for g in range(4))
 
 
+def test_matcher_low_quality_requires_positive_iou():
+    """Documented deviation (PARITY #5): a GT with ZERO overlap against
+    every candidate must NOT promote anchors to foreground (detectron2's
+    set_low_quality_matches_ has no > 0 guard and would mark ALL anchors
+    fg for such a GT via the tie). A GT with tiny-but-positive best IoU
+    below the thresholds IS promoted (the low-quality rescue)."""
+    iou = np.zeros((2, 6), np.float32)
+    iou[0, 3] = 0.05  # below all thresholds, but > 0 -> rescued
+    # GT row 1 overlaps nothing -> rescues nobody
+    padded, valid = _pad_gt(iou, 4)
+    idx, lab = match_proposals(
+        jnp.array(padded), jnp.array(valid), [0.3, 0.7], [0, -1, 1], True
+    )
+    lab = np.asarray(lab)
+    assert lab[3] == 1  # low-quality rescue for GT 0
+    assert (lab[[0, 1, 2, 4, 5]] == 0).all()  # zero-IoU GT promotes none
+    # the numpy mirror agrees (it carries the same documented guard)
+    ref_idx, ref_lab = np_matcher(iou, [0.3, 0.7], [0, -1, 1], True)
+    np.testing.assert_array_equal(lab, ref_lab)
+
+
 def test_matcher_empty_gt():
     padded = np.zeros((8, 30), np.float32)
     valid = np.zeros(8, bool)

@@ -158,6 +158,14 @@ def test_rpn_stop_gradient_lambda_zero():
     )
     assert backbone_grad == 0.0  # both branches decoupled at lambda=0
     assert rpn_grad > 0.0
+    # the GDL affines sit ABOVE the stop-gradient (decouple THEN affine,
+    # ref rcnn.py:89-98): they must keep full gradients even at lambda=0
+    for aff in ("affine_rpn", "affine_rcnn"):
+        g = sum(
+            float(jnp.abs(x).sum())
+            for x in jax.tree_util.tree_leaves(grads[aff])
+        )
+        assert g > 0.0, aff
 
 
 def test_remat_backbone_matches():

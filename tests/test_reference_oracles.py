@@ -197,7 +197,9 @@ def test_lv_attention_matches_reference():
 
         def __getitem__(self, word):
             if word not in words:
-                r = np.random.RandomState(abs(hash(word)) % (2**31))
+                r = np.random.RandomState(  # stable across runs (hash() is salted)
+                    __import__("zlib").crc32(word.encode()) % (2**31)
+                )
                 words[word] = torch.from_numpy(
                     r.randn(self.dim).astype(np.float32)
                 )
@@ -800,7 +802,9 @@ def test_lv_textdomination_matches_reference(vkv):
 
         def __getitem__(self, word):
             if word not in words:
-                r = np.random.RandomState(abs(hash(word)) % (2**31))
+                r = np.random.RandomState(  # stable across runs (hash() is salted)
+                    __import__("zlib").crc32(word.encode()) % (2**31)
+                )
                 words[word] = torch.from_numpy(
                     r.randn(self.dim).astype(np.float32)
                 )

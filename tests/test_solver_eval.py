@@ -70,6 +70,13 @@ def test_voc_ap_formulas():
     assert np.isclose(voc_ap(rec, prec, use_07_metric=False), 1.0)
     # 11-point: t=0..1 all have max prec 1 -> 1.0
     assert np.isclose(voc_ap(rec, prec, use_07_metric=True), 1.0)
+    # a case where the two conventions DIFFER, so a swapped/ignored
+    # use_07_metric cannot pass: recall stops at 0.5 with precision 1
+    rec = np.array([0.5])
+    prec = np.array([1.0])
+    assert np.isclose(voc_ap(rec, prec, use_07_metric=False), 0.5)
+    # 11-point: t in {0, .1, ..., .5} see max prec 1, the rest 0 -> 6/11
+    assert np.isclose(voc_ap(rec, prec, use_07_metric=True), 6.0 / 11.0)
 
 
 def test_voc_eval_class_perfect_and_difficult():

@@ -111,6 +111,7 @@ def _write_scenario(tmp, rng, n_images=6, cls="cat"):
 def test_voc_eval_matches_reference_implementation(tmp_path):
     ref_voc_eval, ref_parse_rec = _load_reference_voc_eval()
     rng = np.random.RandomState(0)
+    compared = 0
     for seed in range(5):
         tmp = tmp_path / f"s{seed}"
         tmp.mkdir()
@@ -118,6 +119,7 @@ def test_voc_eval_matches_reference_implementation(tmp_path):
         if not any(len(r["bbox"]) and not r["difficult"].all()
                    for r in gt.values()):
             continue  # npos=0: documented deviation, covered below
+        compared += 1
         for ovthresh in (0.5, 0.75):
             for use_07 in (False, True):
                 ref_parse_rec.cache_clear()
@@ -135,6 +137,9 @@ def test_voc_eval_matches_reference_implementation(tmp_path):
                 np.testing.assert_allclose(rec_o, rec_r, rtol=0, atol=1e-12)
                 np.testing.assert_allclose(prec_o, prec_r, rtol=0, atol=1e-12)
                 np.testing.assert_allclose(ap_o, ap_r, rtol=0, atol=1e-12)
+    # the fuzz must actually have compared something — an rng/fixture
+    # drift that skips every scenario would otherwise pass vacuously
+    assert compared >= 3, compared
 
 
 @needs_ref
@@ -150,4 +155,7 @@ def test_voc_eval_npos_zero_documented_deviation(tmp_path):
     }
     dets = [("im0", 0.9, 10.0, 10.0, 50.0, 50.0)]
     rec, prec, ap = voc_eval_class(dets, gt, 0.5, False)
-    assert np.isfinite(ap)
+    # the deviation is CLAMP-TO-ZERO, not merely finite: zero positives
+    # can never yield credit
+    assert ap == 0.0
+    assert np.all(np.asarray(rec) == 0.0)

@@ -223,11 +223,11 @@ def test_c2_mapping_complete_for_full_r101(tmp_path):
         s = flat[path].shape
         return (s[3], s[2], s[0], s[1])  # HWIO -> OIHW
 
-    blobs["conv1_w"] = np.zeros(
-        kshape(("backbone", "stem_conv1", "kernel")), np.float32
+    blobs["conv1_w"] = np.full(
+        kshape(("backbone", "stem_conv1", "kernel")), 0.5, np.float32
     )
-    blobs["res_conv1_bn_s"] = np.zeros(8, np.float32)
-    blobs["res_conv1_bn_b"] = np.zeros(8, np.float32)
+    blobs["res_conv1_bn_s"] = np.full(8, 0.5, np.float32)
+    blobs["res_conv1_bn_b"] = np.full(8, 0.5, np.float32)
     for stage, n in stages.items():
         prefix = (
             ("backbone", stage) if stage != "res5"
@@ -237,16 +237,16 @@ def test_c2_mapping_complete_for_full_r101(tmp_path):
             block = f"block{b}"
             for conv, branch in conv_of.items():
                 kp = prefix + (block, conv, "kernel")
-                blobs[f"{stage}_{b}_{branch}_w"] = np.zeros(kshape(kp), np.float32)
+                blobs[f"{stage}_{b}_{branch}_w"] = np.full(kshape(kp), 0.5, np.float32)
                 c = flat[kp].shape[3]
-                blobs[f"{stage}_{b}_{branch}_bn_s"] = np.zeros(c, np.float32)
-                blobs[f"{stage}_{b}_{branch}_bn_b"] = np.zeros(c, np.float32)
+                blobs[f"{stage}_{b}_{branch}_bn_s"] = np.full(c, 0.5, np.float32)
+                blobs[f"{stage}_{b}_{branch}_bn_b"] = np.full(c, 0.5, np.float32)
             if prefix + (block, "shortcut", "kernel") in flat:
                 kp = prefix + (block, "shortcut", "kernel")
-                blobs[f"{stage}_{b}_branch1_w"] = np.zeros(kshape(kp), np.float32)
+                blobs[f"{stage}_{b}_branch1_w"] = np.full(kshape(kp), 0.5, np.float32)
                 c = flat[kp].shape[3]
-                blobs[f"{stage}_{b}_branch1_bn_s"] = np.zeros(c, np.float32)
-                blobs[f"{stage}_{b}_branch1_bn_b"] = np.zeros(c, np.float32)
+                blobs[f"{stage}_{b}_branch1_bn_s"] = np.full(c, 0.5, np.float32)
+                blobs[f"{stage}_{b}_branch1_bn_b"] = np.full(c, 0.5, np.float32)
 
     pkl_path = tmp_path / "full_r101.pkl"
     with open(pkl_path, "wb") as f:
@@ -254,12 +254,16 @@ def test_c2_mapping_complete_for_full_r101(tmp_path):
 
     new, matched, skipped = load_reference_weights(str(pkl_path), params)
     assert matched == len(blobs), (matched, len(blobs), skipped[:5])
-    # and every blob-covered target got hit (bn running stats stay default)
-    covered = {
-        p for p in targets
-        if not (p[-1] in ("weight", "bias") and "bn" not in p[-2])
-    }
-    assert matched >= len(covered) - 2  # stem bn counted once
+    # PER-PARAM coverage: every target path must now hold the 0.5 blob
+    # fill (conv kernels init random, bn weights init 1, bn biases init 0,
+    # so an unhit param — e.g. two blobs mapped onto one path — cannot
+    # masquerade as covered by a bare count)
+    new_flat = traverse_util.flatten_dict(new)
+    missed = [
+        p for p in sorted(targets)
+        if not np.allclose(np.asarray(new_flat[p]), 0.5)
+    ]
+    assert not missed, missed[:5]
 
 
 def _torchvision_r101_manifest():
