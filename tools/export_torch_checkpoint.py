@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -38,8 +38,11 @@ def main():
         export_d2_state,
     )
 
-    with open(args.src, "rb") as f:
-        state = pickle.load(f)
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.checkpointer import (
+        load_checkpoint_file,
+    )
+
+    state = load_checkpoint_file(args.src)  # .ckpt or orbax dir
     params = state["params"] if "params" in state else state
     import numpy as np
 

@@ -1,6 +1,11 @@
 """Checkpoint surgery CLI — same interface as the reference
 tools/model_surgery.py (remove / randinit / reset) operating on our
-pytree checkpoints (.ckpt) and importing torch .pth if given."""
+pytree checkpoints (.ckpt single-file pickle or orbax directory).
+
+Torch .pth checkpoints are NOT consumed here: the few-shot workflow
+surgers the base checkpoint this framework trained (like the reference
+surgers its own model_final.pth); a reference-format .pth enters the
+pipeline through MODEL.WEIGHTS instead (checkpoint/torch_import.py)."""
 
 from __future__ import annotations
 
@@ -19,6 +24,13 @@ from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery imp
 
 
 def load_state(path):
+    if path.endswith((".pth", ".pkl")):
+        raise SystemExit(
+            f"{path}: surgery operates on this framework's checkpoints "
+            "(.ckpt / orbax dir). Load reference-format weights via "
+            "MODEL.WEIGHTS (they are translated at train time), train, "
+            "then surger the resulting model_final.ckpt."
+        )
     from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.checkpointer import (
         load_checkpoint_file,
     )

@@ -250,39 +250,19 @@ def main(production=False):
     res = cli.do_test(cfg2, params=tr2.params, model=tr2.model)
     ap50 = res["voc_distof_all1_t_test"]["bbox"]["AP50"]
 
-    import xml.etree.ElementTree as ET
-
     dets = json.load(
         open(os.path.join(cfg2.OUTPUT_DIR, "coco_instances_results.json"))
     )
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         MetadataCatalog,
     )
+    from overfit_map_check import memorized_set_recall
 
     classes = MetadataCatalog.get("voc_distof_all1_t_test").thing_classes
     name_to_id = {n: i for i, n in enumerate(classes)}
-    total = hit = 0
-    for fid in sorted({dd["image_id"] for dd in dets}):
-        tree = ET.parse(os.path.join(d, "Annotations", f"{fid}.xml"))
-        for obj in tree.findall("object"):
-            total += 1
-            bb = obj.find("bndbox")
-            g = [
-                float(bb.find(t).text) - (1 if t in ("xmin", "ymin") else 0)
-                for t in ("xmin", "ymin", "xmax", "ymax")
-            ]
-            cid = name_to_id[obj.find("name").text]
-            for dd in dets:
-                if dd["image_id"] != fid or dd["category_id"] != cid:
-                    continue
-                x, y, w, h = dd["bbox"]
-                ix = max(0, min(g[2], x + w) - max(g[0], x))
-                iy = max(0, min(g[3], y + h) - max(g[1], y))
-                inter = ix * iy
-                union = (g[2] - g[0]) * (g[3] - g[1]) + w * h - inter
-                if inter / union > 0.5:
-                    hit += 1
-                    break
+    hit, total = memorized_set_recall(
+        dets, os.path.join(d, "Annotations"), name_to_id
+    )
     recall = hit / max(total, 1)
     print(
         f"wall {time.time()-t0:.0f}s  distilled-student AP50={ap50:.2f} "

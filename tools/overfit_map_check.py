@@ -62,6 +62,41 @@ def make_visual_voc(root, n=6):
     return d
 
 
+def memorized_set_recall(dets, anno_dir, name_to_id, iou_thresh=0.5):
+    """recall@iou over EVERY annotation file in anno_dir — iterating the
+    dataset, not the detections, so images with zero detections count
+    their GT as misses (an early version iterated det image_ids and a
+    model detecting nothing on an image silently dropped its GT from the
+    denominator). Returns (hit, total)."""
+    import xml.etree.ElementTree as ET
+
+    total = hit = 0
+    for fn in sorted(os.listdir(anno_dir)):
+        if not fn.endswith(".xml"):
+            continue
+        fid = fn[:-4]
+        tree = ET.parse(os.path.join(anno_dir, fn))
+        for obj in tree.findall("object"):
+            total += 1
+            bb = obj.find("bndbox")
+            # loader applies the VOC -1 origin shift
+            g = [float(bb.find(t).text) - (1 if t in ("xmin", "ymin") else 0)
+                 for t in ("xmin", "ymin", "xmax", "ymax")]
+            cid = name_to_id[obj.find("name").text]
+            for dd in dets:
+                if dd["image_id"] != fid or dd["category_id"] != cid:
+                    continue
+                x, y, w, h = dd["bbox"]
+                ix = max(0, min(g[2], x + w) - max(g[0], x))
+                iy = max(0, min(g[3], y + h) - max(g[1], y))
+                inter = ix * iy
+                union = (g[2] - g[0]) * (g[3] - g[1]) + w * h - inter
+                if inter / union > iou_thresh:
+                    hit += 1
+                    break
+    return hit, total
+
+
 def main(production=False, head=None):
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         DatasetCatalog,
@@ -178,27 +213,9 @@ def main(production=False, head=None):
 
     classes = MetadataCatalog.get("voc_mapof_all1_t_test").thing_classes
     name_to_id = {n: i for i, n in enumerate(classes)}
-    total = hit = 0
-    for fid in sorted({dd["image_id"] for dd in dets}):
-        tree = ET.parse(os.path.join(d, "Annotations", f"{fid}.xml"))
-        for obj in tree.findall("object"):
-            total += 1
-            bb = obj.find("bndbox")
-            # loader applies the VOC -1 origin shift
-            g = [float(bb.find(t).text) - (1 if t in ("xmin", "ymin") else 0)
-                 for t in ("xmin", "ymin", "xmax", "ymax")]
-            cid = name_to_id[obj.find("name").text]
-            for dd in dets:
-                if dd["image_id"] != fid or dd["category_id"] != cid:
-                    continue
-                x, y, w, h = dd["bbox"]
-                ix = max(0, min(g[2], x + w) - max(g[0], x))
-                iy = max(0, min(g[3], y + h) - max(g[1], y))
-                inter = ix * iy
-                union = (g[2] - g[0]) * (g[3] - g[1]) + w * h - inter
-                if inter / union > 0.5:
-                    hit += 1
-                    break
+    hit, total = memorized_set_recall(
+        dets, os.path.join(d, "Annotations"), name_to_id
+    )
     recall = hit / max(total, 1)
     print(
         f"wall {time.time()-t0:.0f}s  AP50={ap50:.2f} "

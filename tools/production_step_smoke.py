@@ -84,6 +84,10 @@ def main(family: str, batch: int = 8, eval_mode: bool = False) -> None:
     if spec["meta"] == "GeneralizedDistillatedRCNN":
         cfg.MODEL.DISTILLATION.TEACHER_TRAINING = True
     cfg.SOLVER.IMS_PER_BATCH = batch
+    # _common_kwargs resolves an embedding bank from DATASETS.TRAIN for
+    # non-plain families (and raises loudly if it can't); the synthetic
+    # bank below overrides it either way
+    cfg.DATASETS.TRAIN = ("voc_2007_trainval_all1",)
 
     rngb = np.random.RandomState(0)
     bank = rngb.randn(20, 300).astype(np.float32)

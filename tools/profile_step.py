@@ -77,7 +77,10 @@ def run_and_trace(train: bool, trace_dir: str, iters: int = 3) -> None:
         params = variables["params"]
         tx, _ = build_optimizer(cfg, params)
         opt_state = tx.init(params)
-        step_fn = jax.jit(make_train_step(model, tx))
+        # donate like the real trainer (trainer.py) — without donation the
+        # profile doubles params+momentum in HBM and shows allocation
+        # behavior production never has
+        step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0, 1))
         key = jax.random.PRNGKey(0)
 
         def run(i):

@@ -6,7 +6,7 @@
 # Usage: bash tools/run_real_voc.sh [SPLIT_ID] [SHOT] [SEEDS...]
 # In a container without real VOC/weights this exits early with a clear
 # per-item report of what to supply (VERDICT r1 Missing #5 / #6).
-set -e
+set -e -o pipefail  # pipefail: a crashed main.py must not hide behind tee
 cd "$(dirname "$0")/.."
 
 # NB: `shift 2` is a no-op (not a partial shift) when $# < 2, which would
@@ -48,9 +48,14 @@ for seed in ${SEEDS}; do
         --shot ${SHOT} --seed ${seed} --setting gfsod --split ${SPLIT_ID}
     CONFIG_PATH=configs/voc/defrcn_gfsod_r101_novel${SPLIT_ID}_${SHOT}shot_seed${seed}.yaml
     OUTPUT_DIR=${SAVE_DIR}/defrcn_gfsod_r101_novel${SPLIT_ID}/tfa-like/${SHOT}shot_seed${seed}
+    mkdir -p ${OUTPUT_DIR}
+    # tee the run into log.txt — extract_results scrapes the trailing
+    # "copypaste:" lines from exactly this file (ref run_voc.sh piped
+    # through d2's file logger; our logger is stdout-only)
     python main.py --config-file ${CONFIG_PATH} \
         --opts MODEL.WEIGHTS ${BASE_WEIGHT} OUTPUT_DIR ${OUTPUT_DIR} \
-               TEST.PCB_MODELPATH ${PCB_PRETRAIN}
+               TEST.PCB_MODELPATH ${PCB_PRETRAIN} \
+        2>&1 | tee ${OUTPUT_DIR}/log.txt
     rm ${CONFIG_PATH}
 done
 

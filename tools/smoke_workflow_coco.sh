@@ -3,14 +3,18 @@
 # IDMAP surgery (60 -> 80, base rows preserved) -> create_config -> gfsod
 # 1-shot fine-tune -> COCOEvaluator (all/base/novel) -> extract_results.
 # Mirrors run_coco.sh's skeleton on a synthetic dataset with a tiny model.
-set -e
+set -e -o pipefail  # a crashed main.py must not hide behind tee
 cd "$(dirname "$0")/.."
 
 SAVE_DIR=${1:-/tmp/smoke_workflow_coco}
 rm -rf ${SAVE_DIR}
 mkdir -p ${SAVE_DIR}
 
-python tools/_make_synthetic_coco.py --root datasets --shots 1 --seeds 0
+# synthetic data goes to its OWN root — writing into ./datasets would
+# silently clobber real COCO split files if any were present
+DATA_ROOT=${SAVE_DIR}/datasets
+export FSODTF_DATASETS=${DATA_ROOT}
+python tools/_make_synthetic_coco.py --root ${DATA_ROOT} --shots 1 --seeds 0
 
 TINY_OPTS="MODEL.RESNETS.DEPTH 14 MODEL.RESNETS.STEM_OUT_CHANNELS 8
 MODEL.RESNETS.RES2_OUT_CHANNELS 16 MODEL.RESNETS.WIDTH_PER_GROUP 4
