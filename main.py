@@ -66,6 +66,21 @@ def setup(args):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
+    # ALSO log to OUTPUT_DIR/log.txt like the reference's setup_logger
+    # (defaults.py:90-93; rank-suffixed off rank 0): tools/
+    # extract_results.py scrapes the trailing "copypaste:" lines from
+    # exactly this file, so without it every run_*.sh aggregate breaks
+    if cfg.OUTPUT_DIR:
+        import jax
+
+        os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+        rank = jax.process_index()
+        name = "log.txt" if rank == 0 else f"log.txt.rank{rank}"
+        fh = logging.FileHandler(os.path.join(cfg.OUTPUT_DIR, name))
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s: %(message)s"
+        ))
+        logging.getLogger().addHandler(fh)
     return cfg
 
 

@@ -48,14 +48,11 @@ for seed in ${SEEDS}; do
         --shot ${SHOT} --seed ${seed} --setting gfsod --split ${SPLIT_ID}
     CONFIG_PATH=configs/voc/defrcn_gfsod_r101_novel${SPLIT_ID}_${SHOT}shot_seed${seed}.yaml
     OUTPUT_DIR=${SAVE_DIR}/defrcn_gfsod_r101_novel${SPLIT_ID}/tfa-like/${SHOT}shot_seed${seed}
-    mkdir -p ${OUTPUT_DIR}
-    # tee the run into log.txt — extract_results scrapes the trailing
-    # "copypaste:" lines from exactly this file (ref run_voc.sh piped
-    # through d2's file logger; our logger is stdout-only)
+    # main.py writes OUTPUT_DIR/log.txt itself (reference setup_logger
+    # parity) — extract_results scrapes its trailing "copypaste:" lines
     python main.py --config-file ${CONFIG_PATH} \
         --opts MODEL.WEIGHTS ${BASE_WEIGHT} OUTPUT_DIR ${OUTPUT_DIR} \
-               TEST.PCB_MODELPATH ${PCB_PRETRAIN} \
-        2>&1 | tee ${OUTPUT_DIR}/log.txt
+               TEST.PCB_MODELPATH ${PCB_PRETRAIN}
     rm ${CONFIG_PATH}
 done
 

@@ -51,8 +51,9 @@ python main.py --config-file ${CONFIG} \
     TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
 rm ${CONFIG}
-mkdir -p ${OUT}
-grep copypaste ${OUT}.log | sed 's/^.*copypaste/copypaste/' | tail -2 > ${OUT}/log.txt
+# main.py writes OUT/log.txt natively (reference setup_logger parity)
+# ending in the copypaste lines extract_results scrapes — no rewrite here
+test -f ${OUT}/log.txt
 
 echo "=== 5. aggregate ==="
 python tools/extract_results.py --res-dir ${SAVE_DIR} --shot-list 1
