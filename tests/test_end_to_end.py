@@ -158,3 +158,77 @@ def test_full_train_eval_surgery(shared_tmp):
     trainer2 = Trainer(cfg)
     trainer2.resume_or_load(resume=True)
     assert trainer2.start_iter == cfg.SOLVER.MAX_ITER
+
+
+def test_cli_end_to_end_with_log_contract(tmp_path):
+    """Drive the real CLI (python main.py) on a synthetic dataset: train a
+    few iters, eval, and verify the run artifacts — notably OUTPUT_DIR/
+    log.txt (reference setup_logger parity) whose trailing lines are the
+    copypaste rows tools/extract_results.py scrapes."""
+    import subprocess
+    import sys
+
+    import shutil
+
+    root = str(tmp_path / "data")
+    make_voc(os.path.join(root), n=4)
+    # the base1 config trains on voc_2007_trainval_base1 + tests on
+    # voc_2007_test_base1; synthesize both years' trees and a test split
+    make_voc(root, n=4, year="2012")
+    for year in ("2007", "2012"):
+        main_dir = os.path.join(root, f"VOC{year}", "ImageSets", "Main")
+        shutil.copy(
+            os.path.join(main_dir, "trainval.txt"),
+            os.path.join(main_dir, "test.txt"),
+        )
+    out = str(tmp_path / "out")
+    opts = [
+        "MODEL.WEIGHTS", "",
+        "MODEL.RESNETS.DEPTH", "14",
+        "MODEL.RESNETS.STEM_OUT_CHANNELS", "8",
+        "MODEL.RESNETS.RES2_OUT_CHANNELS", "16",
+        "MODEL.RESNETS.WIDTH_PER_GROUP", "4",
+        "MODEL.BACKBONE.FREEZE_AT", "0",
+        "MODEL.RPN.PRE_NMS_TOPK_TRAIN", "128",
+        "MODEL.RPN.POST_NMS_TOPK_TRAIN", "32",
+        "MODEL.RPN.PRE_NMS_TOPK_TEST", "128",
+        "MODEL.RPN.POST_NMS_TOPK_TEST", "32",
+        "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "8",
+        "MODEL.ROI_HEADS.SCORE_THRESH_TEST", "0.0",
+        "TPU.IMAGE_BUCKETS", "((192,256),)",
+        "TPU.MAX_GT", "10",
+        "TPU.MAX_DETECTIONS_PRE_NMS", "64",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "INPUT.MIN_SIZE_TRAIN", "(192,)",
+        "INPUT.MAX_SIZE_TRAIN", "256",
+        "INPUT.MIN_SIZE_TEST", "192",
+        "INPUT.MAX_SIZE_TEST", "256",
+        "SOLVER.IMS_PER_BATCH", "2",
+        "SOLVER.MAX_ITER", "2",
+        "SOLVER.STEPS", "(1,)",
+        "SOLVER.BASE_LR", "0.001",
+        "SOLVER.WARMUP_ITERS", "0",
+        "SOLVER.CHECKPOINT_PERIOD", "0",
+        "SEED", "3",
+        "OUTPUT_DIR", out,
+    ]
+    env = dict(os.environ, FSODTF_PLATFORM="cpu", FSODTF_DATASETS=root)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "main.py",
+         "--config-file", "configs/voc/defrcn_det_r101_base1.yaml",
+         "--opts", *opts],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    # artifacts: config dump, metrics, native log with the scrape contract
+    assert os.path.exists(os.path.join(out, "config.yaml"))
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    log = os.path.join(out, "log.txt")
+    assert os.path.exists(log)
+    lines = [l.strip() for l in open(log) if l.strip()]
+    assert "copypaste" in lines[-1] and "copypaste" in lines[-2], lines[-3:]
+    # the last line is the numeric row extract_results parses
+    vals = lines[-1].split(":")[-1].split(",")
+    assert all(float(v) >= 0.0 for v in vals)
