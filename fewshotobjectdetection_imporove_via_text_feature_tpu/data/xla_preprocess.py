@@ -62,13 +62,22 @@ def device_resize_batch(
         sy = newh / h
         sx = neww / w
 
-        img = img.astype(jnp.float32)
-        # flip within the VALID region: x -> w - 1 - x
-        flipped = jnp.flip(img, axis=1)
-        ws = img.shape[1]
-        shift = ws - hw[1]
-        flipped = jnp.roll(flipped, -shift, axis=1)
-        img = jnp.where(fl, flipped, img)
+        # One clamped-index gather does flip (x -> w-1-x within the valid
+        # region) AND edge-replicates the last valid row/col into the pad,
+        # all on uint8 (4x less traffic than the old f32 flip+roll+where).
+        # Replication matters for upscaling: the linear kernel's last
+        # output row/col taps the first pad row/col (e.g. h=480 short=800:
+        # src 479.2 reads row 480 at weight 0.2) and scale_and_translate
+        # does NOT renormalize taps that are in-range for the padded
+        # canvas — zero pad darkened the bottom/right border of every
+        # upscaled image. Replication reproduces the edge-clamped result
+        # of resizing the unpadded image exactly (PIL semantics, matching
+        # the host mapper path).
+        hs, ws = img.shape[0], img.shape[1]
+        rows = jnp.minimum(jnp.arange(hs), hw[0] - 1)
+        cols = jnp.minimum(jnp.arange(ws), hw[1] - 1)
+        cols = jnp.where(fl, hw[1] - 1 - cols, cols)
+        img = img[rows][:, cols].astype(jnp.float32)
 
         new_hw = jnp.stack([newh, neww]).astype(jnp.int32)
 

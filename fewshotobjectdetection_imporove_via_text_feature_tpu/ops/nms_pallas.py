@@ -1,5 +1,13 @@
 """Pallas TPU kernel for greedy NMS.
 
+TPU-native replacement for torchvision's CUDA ``batched_nms`` as the
+reference consumes it: final per-class detection NMS at
+defrcn/modeling/roi_heads/fast_rcnn.py:125 and RPN proposal NMS at
+defrcn/modeling/proposal_generator/proposal_utils.py:96-100 (vendored
+spec). Semantics (greedy by score, strict-> suppression, torchvision
+tie-breaking) are defined by ops/nms.py; this kernel must match its keep
+set bit-for-bit.
+
 The tiled-greedy algorithm of ops/nms.py, moved entirely into VMEM: one
 kernel invocation suppresses all N boxes without per-tile XLA loop
 overhead (~1.5 ms/tile measured through the XLA path on v5e).

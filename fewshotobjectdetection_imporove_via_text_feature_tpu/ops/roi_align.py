@@ -74,6 +74,42 @@ def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     return jnp.where(oob[..., None], jnp.zeros((), dt), val)
 
 
+def roi_sample_geometry(
+    boxes: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int,
+    sampling_ratio: int,
+    bin_stride: int,
+    grid_dtype,
+):
+    """Shared aligned=True ROI geometry for both ROIAlign formulations.
+
+    This is THE definition of the coordinate transform
+    (``x_feat = x_img * scale - 0.5``), the 1e-6 degenerate-ROI clamp, and
+    the per-bin sub-sample grid ``i + (j + 0.5)/S`` — ops/roi_align_mxu.py
+    imports it so the two backends (switched by FSODTF_ROIALIGN) cannot
+    silently diverge.
+
+    Returns (y1, x1, bin_h, bin_w, grid, p_out): (R,) starts and bin sizes
+    in feature coordinates, the flattened (P'*S,) in-ROI sample offsets,
+    and P' = number of emitted bins per axis.
+    """
+    p = output_size
+    s = sampling_ratio
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    x2 = boxes[:, 2] * spatial_scale - 0.5
+    y2 = boxes[:, 3] * spatial_scale - 0.5
+    bin_w = jnp.maximum(x2 - x1, 1e-6) / p
+    bin_h = jnp.maximum(y2 - y1, 1e-6) / p
+    grid = (
+        jnp.arange(0, p, bin_stride, dtype=grid_dtype)[:, None]
+        + (jnp.arange(s, dtype=grid_dtype)[None, :] + 0.5) / s
+    ).reshape(-1)  # (P'*S,)
+    p_out = len(range(0, p, bin_stride))
+    return y1, x1, bin_h, bin_w, grid, p_out
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -104,27 +140,11 @@ def roi_align(
     Returns:
         (R, P', P', C) pooled features.
     """
-    p = output_size
     s = sampling_ratio
 
-    x1 = boxes[:, 0] * spatial_scale - 0.5
-    y1 = boxes[:, 1] * spatial_scale - 0.5
-    x2 = boxes[:, 2] * spatial_scale - 0.5
-    y2 = boxes[:, 3] * spatial_scale - 0.5
-
-    roi_w = jnp.maximum(x2 - x1, 1e-6)
-    roi_h = jnp.maximum(y2 - y1, 1e-6)
-    bin_w = roi_w / p  # (R,)
-    bin_h = roi_h / p
-
-    # Sample offsets within the ROI: for output bin i and sub-sample j the
-    # position is (i + (j + 0.5)/S) * bin; flatten bins and sub-samples into
-    # one (P'*S,) grid per axis.
-    grid = (
-        jnp.arange(0, p, bin_stride, dtype=feat.dtype)[:, None]
-        + (jnp.arange(s, dtype=feat.dtype)[None, :] + 0.5) / s
-    ).reshape(-1)  # (P'*S,)
-    p_out = len(range(0, p, bin_stride))
+    y1, x1, bin_h, bin_w, grid, p_out = roi_sample_geometry(
+        boxes, spatial_scale, output_size, s, bin_stride, feat.dtype
+    )
 
     ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (R, P'*S)
     xs = x1[:, None] + grid[None, :] * bin_w[:, None]  # (R, P'*S)

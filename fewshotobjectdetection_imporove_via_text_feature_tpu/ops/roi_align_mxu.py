@@ -1,5 +1,11 @@
 """ROIAlign as MXU matmuls — the TPU-native formulation.
 
+Re-implements detectron2's CUDA ROIAlignV2 (consumed by the reference via
+``ROIPooler`` at defrcn/modeling/roi_heads/roi_heads.py:300-305, 7x7 over
+res4 at scale 1/16, and the PCB pooler at
+defrcn/evaluation/calibration_layer.py:27, 1x1 at 1/32) — same contract
+and deviations as ops/roi_align.py, whose docstring is the semantic spec.
+
 Bilinear sampling is separable: every pooled output is
 ``out[r] = Wy[r] @ F @ Wx[r]^T`` with per-ROI interpolation matrices
 Wy (P, H), Wx (P, W) whose rows are averaged bilinear tents over the
@@ -22,40 +28,31 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .roi_align import roi_sample_geometry
 
-def _interp_matrix(
-    start, bin_size, size: int, p: int, s: int, dtype, bin_stride: int = 1
-):
+
+def _interp_matrix(start, bin_size, grid, size: int, p_out: int, s: int):
     """Pooled bilinear interpolation matrix along one axis.
 
     start: (R,) continuous ROI start (feature coords, aligned=True);
-    bin_size: (R,). Returns (R, P', size) with P' = len(range(0, p,
-    bin_stride)): row (r, i) holds the averaged bilinear weights of output
-    bin range(0, p, bin_stride)[i] against the `size` feature positions.
-
-    bin_stride > 1 emits only every bin_stride-th bin of the P-bin grid
-    (bin geometry unchanged) — used to skip pooled positions that a
-    following stride-`bin_stride` conv would never read.
+    bin_size: (R,); grid: (P'*S,) in-ROI sample offsets from
+    roi_sample_geometry. Returns (R, P', size): row (r, i) holds the
+    averaged bilinear weights of emitted bin i against the `size` feature
+    positions.
     """
-    # sample offsets within the ROI: (P'*S,)
-    grid = (
-        jnp.arange(0, p, bin_stride, dtype=dtype)[:, None]
-        + (jnp.arange(s, dtype=dtype)[None, :] + 0.5) / s
-    ).reshape(-1)
-    t = start[:, None] + grid[None, :] * bin_size[:, None]  # (R, P*S)
+    t = start[:, None] + grid[None, :] * bin_size[:, None]  # (R, P'*S)
 
     # boundary rule: out of [-1, size] contributes nothing; in-range
     # samples clamp to [0, size-1]
     oob = (t < -1.0) | (t > size)
     tc = jnp.clip(t, 0.0, size - 1.0)
 
-    pos = jnp.arange(size, dtype=dtype)  # (size,)
+    pos = jnp.arange(size, dtype=t.dtype)  # (size,)
     # bilinear tent around the clamped coordinate
     w = jnp.maximum(0.0, 1.0 - jnp.abs(tc[:, :, None] - pos[None, None, :]))
     # clamped-at-edge coordinates put full weight on the edge cell already
     w = jnp.where(oob[:, :, None], 0.0, w)
     r = start.shape[0]
-    p_out = len(range(0, p, bin_stride))
     w = w.reshape(r, p_out, s, size).sum(axis=2) / s  # average sub-samples
     return w
 
@@ -78,25 +75,23 @@ def roi_align_mxu(
 ) -> jnp.ndarray:
     """(R, P', P', C) pooled features via two matmuls per ROI chunk,
     P' = ceil(output_size / bin_stride) (the bins range(0, P, bin_stride))."""
-    p = output_size
     s = sampling_ratio
     h, w, c = feat.shape
     rtot = boxes.shape[0]
     dt = feat.dtype
     wt = jnp.float32  # build weights in f32, cast for the MXU
 
-    x1 = boxes[:, 0] * spatial_scale - 0.5
-    y1 = boxes[:, 1] * spatial_scale - 0.5
-    x2 = boxes[:, 2] * spatial_scale - 0.5
-    y2 = boxes[:, 3] * spatial_scale - 0.5
-    bin_w = jnp.maximum(x2 - x1, 1e-6) / p
-    bin_h = jnp.maximum(y2 - y1, 1e-6) / p
+    y1, x1, bin_h, bin_w, grid, p_out = roi_sample_geometry(
+        boxes, spatial_scale, output_size, s, bin_stride, wt
+    )
+    if rtot == 0:  # degenerate shape: match the gather backend
+        return jnp.zeros((0, p_out, p_out, c), dt)
 
     wy = _interp_matrix(
-        y1.astype(wt), bin_h.astype(wt), h, p, s, wt, bin_stride
+        y1.astype(wt), bin_h.astype(wt), grid, h, p_out, s
     )  # (R, P', H)
     wx = _interp_matrix(
-        x1.astype(wt), bin_w.astype(wt), w, p, s, wt, bin_stride
+        x1.astype(wt), bin_w.astype(wt), grid, w, p_out, s
     )  # (R, P', W)
     wy = wy.astype(dt)
     wx = wx.astype(dt)

@@ -38,6 +38,17 @@ def test_pallas_nms_with_padding_and_invalid():
     _compare(200, 2, 0.5, valid_frac=0.7)
 
 
+def test_pallas_nms_multi_block_cross_sweep():
+    # N > BLK_TILES*TILE (1024) exercises the cross-tile sweep over
+    # MULTIPLE earlier blocks (the production train-time configuration is
+    # N=12000, i.e. 12 blocks) — the earlier_block loop bound
+    # nblocks = (i*t + blkc - 1) // blkc and the overhang-contributes-
+    # nothing invariant only matter here. Sorted-score order matches the
+    # production caller (nms_fixed_pallas re-sorts internally either way).
+    _compare(1400, 4, 0.5)
+    _compare(2200, 5, 0.7, valid_frac=0.8)
+
+
 def test_pallas_nms_dense_overlaps():
     rng = np.random.RandomState(3)
     # many heavy overlaps -> deep suppression chains

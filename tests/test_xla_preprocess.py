@@ -71,6 +71,40 @@ def test_device_flip():
     assert o[:, :4].mean() < 50
 
 
+def test_resize_independent_of_source_padding():
+    # Upscaling must not blend source-bucket zero padding into the last
+    # valid row/col: the linear kernel's last output row taps the first
+    # pad row (in-range for the padded canvas, so scale_and_translate
+    # does NOT renormalize it away). The edge-replicating gather makes
+    # the result identical to resizing the exact-size canvas.
+    h0, w0 = 220, 300
+    img = smooth_image(h0, w0, seed=7)
+    short, max_size = 512, 800  # upscale: the case that taps the pad
+
+    def run(hs, ws, fl):
+        raw = np.zeros((1, hs, ws, 3), np.float32)
+        raw[0, :h0, :w0] = img
+        out, new_hw = device_resize_batch(
+            jnp.asarray(raw),
+            jnp.asarray([[h0, w0]], jnp.int32),
+            jnp.asarray([fl]),
+            short, max_size, (544, 736),
+        )
+        return np.asarray(out[0]), [int(v) for v in np.asarray(new_hw[0])]
+
+    for fl in (False, True):
+        exact, hw_e = run(h0, w0, fl)
+        padded, hw_p = run(256, 384, fl)
+        assert hw_e == hw_p
+        np.testing.assert_allclose(padded, exact, atol=1e-3)
+        # and the last valid row/col must carry real content, not a
+        # zero-blended shadow (the original bug darkened it ~20%)
+        nh, nw = hw_e
+        interior = np.abs(padded[nh - 4, : nw]).mean()
+        border = np.abs(padded[nh - 1, : nw]).mean()
+        assert border > 0.5 * interior
+
+
 def test_scale_boxes_matches_flip_convention():
     boxes = np.array([[10.0, 20.0, 50.0, 60.0]])
     out = scale_boxes(boxes, (100, 200), (50, 100), flip=True)
