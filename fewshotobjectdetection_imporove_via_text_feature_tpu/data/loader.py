@@ -53,6 +53,11 @@ def _stack_batch(items: List[Dict]):
     )
     meta = {
         "image_ids": [it["image_id"] for it in items],
+        # PCB reads the ORIGINAL pixels per detection; carrying the path in
+        # the batch (like the reference's batched_inputs file_name,
+        # calibration_layer.py:108) is immune to image_id collisions across
+        # datasets — an id->path map is not (VOC 2007/2012 share ids).
+        "file_names": [it.get("file_name") for it in items],
         "valid_count": sum(1 for it in items if not it.get("_pad", False)),
     }
     if "short" in items[0]:  # device-preprocess mode extras
@@ -143,8 +148,16 @@ def build_detection_train_loader(
         for epoch in itertools.count():
             order = rng.permutation(len(dicts))
             for i in order:
+                # SeedSequence-mixed per-item stream: a plain linear
+                # combination (seed*K1 + epoch*K2 + i) collides whenever
+                # the epoch stride is smaller than the dataset — item i in
+                # epoch e+1 would replay item i+K2's stream from epoch e,
+                # correlating augmentation draws across the run. Pure
+                # function of (seed, epoch, i): identical on every rank.
                 r = np.random.RandomState(
-                    (seed * 1_000_003 + epoch * 97 + int(i)) % (2**31)
+                    np.random.MT19937(
+                        np.random.SeedSequence([seed, epoch, int(i)])
+                    )
                 )
                 yield epoch, int(i), mapper.plan(dicts[int(i)], r)
 

@@ -204,6 +204,7 @@ class DatasetMapper:
             "gt_classes": gt_classes,
             "gt_valid": gt_valid,
             "image_id": record.get("image_id"),
+            "file_name": record.get("file_name"),
             "flipped": flip,
         }
 
@@ -297,5 +298,6 @@ class DatasetMapper:
             "gt_classes": gt_classes,
             "gt_valid": gt_valid,
             "image_id": record.get("image_id"),
+            "file_name": record.get("file_name"),
             "flipped": flipped,
         }

@@ -39,7 +39,10 @@ def default_setup(cfg, args=None):
     if jax.process_index() == 0:
         with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
             f.write(cfg.dump())
-    seed = cfg.SEED if cfg.SEED > 0 else int.from_bytes(os.urandom(3), "little")
+    # SEED >= 0 is a fixed seed (0 is valid and reproducible); only a
+    # negative value draws a random one — ref defaults.py:123
+    # seed_all_rng(None if cfg.SEED < 0 else ...).
+    seed = cfg.SEED if cfg.SEED >= 0 else int.from_bytes(os.urandom(3), "little")
     return seed
 
 
@@ -134,7 +137,6 @@ class Trainer:
         self.seed = default_setup(cfg)
         if pcount > 1:
             # all processes must init identical params / step rngs
-            import numpy as np
             from jax.experimental import multihost_utils
 
             self.seed = int(
@@ -318,6 +320,11 @@ class Trainer:
             ):
                 self.save(params, it)
 
+            # keep self.params pointing at LIVE buffers: the loop-local
+            # `params` the step returned (its input was donated/deleted) —
+            # a hook calling trainer.test() mid-training must not see the
+            # pre-step donated array
+            self.params = params
             for hook in self.hooks:
                 hook(it, params)
             if it + 1 == profile_stop and profiling:
@@ -326,6 +333,9 @@ class Trainer:
                 profiling = False
             it += 1
 
+        if profiling:  # window extended past max_iter (or NUM_STEPS <= 0)
+            jax.block_until_ready(losses)
+            jax.profiler.stop_trace()
         self.params = params
         self.save(self.params, self.max_iter - 1, name="model_final")
         return self.params

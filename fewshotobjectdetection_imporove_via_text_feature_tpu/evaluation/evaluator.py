@@ -14,6 +14,27 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+# Traced inference programs, reused across inference_on_dataset calls
+# (periodic EvalHook evals would otherwise re-trace the full detector
+# every period — compilation is disk-cached but tracing is not). Keyed
+# weakly on the model module; flax modules compare by config, so an
+# equal-config model reuses the entry. Values: {"apply": fn,
+# "raw": {(target_hw, max_size): fn}}.
+import weakref
+
+_jit_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _model_cache(model):
+    entry = _jit_cache.get(model)
+    if entry is None:
+        entry = {
+            "apply": jax.jit(partial(model.apply, train=False)),
+            "raw": {},
+        }
+        _jit_cache[model] = entry
+    return entry
+
 
 class DatasetEvaluator:
     def reset(self):
@@ -61,14 +82,15 @@ def inference_on_dataset(
         return (shard_batch(mesh, images),
                 *(shard_batch(mesh, e) for e in extra))
 
-    apply_fn = jax.jit(partial(model.apply, train=False))
+    cache = _model_cache(model)
+    apply_fn = cache["apply"]
 
     # device-preprocess mode: fuse raw->resize into the inference program,
     # one compiled variant per target bucket
-    raw_fns = {}
+    raw_fns = cache["raw"]
 
     def apply_raw(variables, images, short, flip, target_hw, max_size):
-        fn = raw_fns.get(target_hw)
+        fn = raw_fns.get((target_hw, max_size))
         if fn is None:
 
             def run(v, im, sh, fl):
@@ -83,17 +105,15 @@ def inference_on_dataset(
                 return model.apply(v, im.replace(image=resized), train=False)
 
             fn = jax.jit(run)
-            raw_fns[target_hw] = fn
+            raw_fns[(target_hw, max_size)] = fn
         return fn(variables, images, short, flip)
 
     # multi-host: slice batches round-robin across processes
     # (InferenceSampler semantics, ref dataloader/build.py:385) and
     # all-gather each batch's detections so every rank evaluates full
     # metrics (comm.gather + broadcast analog).
-    import jax as _jax
-
-    pcount = _jax.process_count()
-    pindex = _jax.process_index()
+    pcount = jax.process_count()
+    pindex = jax.process_index()
 
     # Pipelined drive: keep up to DEPTH batches in flight on the device and
     # read back / evaluate the oldest while newer ones compute. Behind the
@@ -134,8 +154,10 @@ def inference_on_dataset(
             "valid": np.array(det.valid)[:nvalid],
         }
         if pcb is not None:
+            fnames = meta.get("file_names")
             det_np = pcb.execute_calibration(
-                meta["image_ids"][:nvalid], det_np
+                meta["image_ids"][:nvalid], det_np,
+                file_names=None if fnames is None else fnames[:nvalid],
             )
         if pcount > 1:
             from ..parallel.gather import allgather_pyobj

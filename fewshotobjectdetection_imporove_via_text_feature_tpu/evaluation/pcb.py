@@ -57,16 +57,22 @@ class PrototypicalCalibrationBlock:
 
         self.prototypes = self.build_prototypes()
         self.exclude_cls = self.clsid_filter()
-        # test-set image_id -> file path (calibration reads originals)
+        # Fallback test-set image_id -> file path for callers that don't
+        # supply paths (calibrate_image). The batched path passes each
+        # batch's file_names through (loader meta), because ids can collide
+        # across cfg.DATASETS.TEST entries (e.g. VOC 2007/2012 share ids);
+        # colliding ids are poisoned so a fallback lookup fails loudly
+        # instead of silently reading the wrong dataset's pixels.
         self._files: Dict = {}
+        self._ambiguous = set()
         for name in cfg.DATASETS.TEST:
             for r in get_detection_dataset_dicts([name], filter_empty=False):
-                self._files[r["image_id"]] = r["file_name"]
+                old = self._files.setdefault(r["image_id"], r["file_name"])
+                if old != r["file_name"]:
+                    self._ambiguous.add(r["image_id"])
 
     # ------------------------------------------------------------------
     def _load_params(self, path):
-        import jax.numpy as jnp
-
         dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
         variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
         params = variables["params"]
@@ -267,16 +273,34 @@ class PrototypicalCalibrationBlock:
         )
         return det["scores"][0]
 
-    def execute_calibration(self, image_ids, det_np):
+    def _resolve_file(self, image_id):
+        if image_id in getattr(self, "_ambiguous", ()):
+            raise ValueError(
+                f"image_id {image_id!r} exists in multiple DATASETS.TEST "
+                "entries with different files; pass file_names to "
+                "execute_calibration (the evaluator's batch meta carries "
+                "them)"
+            )
+        return self._files.get(image_id)
+
+    def execute_calibration(self, image_ids, det_np, file_names=None):
         """det_np: dict with boxes/scores/classes/valid (B, D, ...) numpy in
         ORIGINAL image coordinates. Returns the dict with adjusted scores.
+
+        file_names (optional, parallel to image_ids): original image paths
+        from the batch — the collision-proof source, like the reference
+        reading inputs[]['file_name'] (calibration_layer.py:108). Without
+        it, ids resolve through the DATASETS.TEST map.
 
         All of the batch's images go through the PCB net together
         (_roi_features_batch) — one batched forward instead of B batch-1
         forwards."""
         files, boxes_list, work = [], [], []
         for i, image_id in enumerate(image_ids):
-            file_name = self._files.get(image_id)
+            file_name = (
+                file_names[i] if file_names is not None and file_names[i]
+                else self._resolve_file(image_id)
+            )
             if file_name is None:
                 continue
             scores = det_np["scores"][i]

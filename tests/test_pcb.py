@@ -111,3 +111,38 @@ def test_execute_calibration_matches_per_image(pcb):
     )
     # mid-confidence scores actually moved
     assert not np.allclose(got["scores"], det["scores"])
+
+
+def test_colliding_image_ids_across_test_datasets(pcb, tmp_path):
+    """VOC 2007/2012 share image_ids; an id->file map must not silently
+    resolve to the wrong dataset's pixels. With batch-supplied file_names
+    (the evaluator path) calibration uses the right file; the id-map
+    fallback fails loudly on ambiguous ids instead of guessing."""
+    image_id = next(iter(pcb._files))
+    right = pcb._files[image_id]
+    # poison: same id registered with a different file
+    pcb._ambiguous.add(image_id)
+    try:
+        rng = np.random.RandomState(2)
+        det = {
+            "boxes": rng.uniform(5, 80, (1, 3, 4)).astype(np.float32),
+            "scores": rng.uniform(0.2, 0.9, (1, 3)).astype(np.float32),
+            "classes": np.array(
+                [(list(pcb.prototypes) * 3)[:3]], np.int32
+            ),
+            "valid": np.ones((1, 3), bool),
+        }
+        det["boxes"][..., 2:] += det["boxes"][..., :2]
+
+        with pytest.raises(ValueError, match="multiple DATASETS.TEST"):
+            pcb.execute_calibration(
+                [image_id], {k: v.copy() for k, v in det.items()}
+            )
+
+        got = pcb.execute_calibration(
+            [image_id], {k: v.copy() for k, v in det.items()},
+            file_names=[right],
+        )
+        assert not np.allclose(got["scores"], det["scores"])
+    finally:
+        pcb._ambiguous.discard(image_id)
