@@ -24,7 +24,11 @@ _lib = None
 _tried = False
 
 _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
-_SO = os.path.join(_REPO, "build", "libfsodtf_dataio.so")
+# FSODTF_NATIVE_LIB: prebuilt-.so override for wheel installs that have no
+# repo checkout (csrc/ lives at the repo root, not inside the package)
+_SO = os.environ.get(
+    "FSODTF_NATIVE_LIB", os.path.join(_REPO, "build", "libfsodtf_dataio.so")
+)
 _SRC = os.path.join(_REPO, "csrc", "fsodtf_dataio.cpp")
 
 
