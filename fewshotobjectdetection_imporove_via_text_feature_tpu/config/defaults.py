@@ -126,7 +126,7 @@ _C.MODEL.ROI_HEADS.KL_TEMP = 1.0
 _C.MODEL.ROI_BOX_HEAD = CfgNode()
 _C.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
 _C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
-_C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+_C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
 _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
 _C.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 _C.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0

@@ -129,8 +129,12 @@ class PrototypicalCalibrationBlock:
                 _, feat = self.model.apply({"params": params}, x)
 
                 def pool(f, bx):
+                    # sampling_ratio=0 (adaptive): the reference pooler is
+                    # ROIAlignV2 1x1 @1/32 with sampling_ratio=(0)
+                    # (calibration_layer.py:27) — for a 1x1 output that is
+                    # a dense ~whole-ROI average, not a 2x2 point sample
                     return roi_align_auto(
-                        f.astype(jnp.float32), bx, 1, 1.0 / 32.0, 2
+                        f.astype(jnp.float32), bx, 1, 1.0 / 32.0, 0
                     )[:, 0, 0, :]
 
                 pooled = jax.vmap(pool)(feat, boxes)  # (G, N, 2048)

@@ -47,7 +47,7 @@ class StandardROIHeads(nn.Module):
     num_classes: int
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16.0
-    sampling_ratio: int = 2
+    sampling_ratio: int = 0  # 0 = adaptive ceil(roi/bin) (d2 default)
     num_conv: int = 0
     conv_dim: int = 256
     num_fc: int = 2

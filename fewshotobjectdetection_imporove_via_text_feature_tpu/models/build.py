@@ -20,6 +20,14 @@ def register_meta_arch(name):
 
 
 def _common_kwargs(cfg):
+    # only the aligned=True kernel exists here (the reference never runs
+    # another pooler: d2 default + every config = ROIAlignV2); fail loudly
+    # rather than silently substituting V2 semantics
+    if cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE != "ROIAlignV2":
+        raise NotImplementedError(
+            f"POOLER_TYPE {cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE!r}: only "
+            "ROIAlignV2 (aligned bilinear) is implemented"
+        )
     dtype = (
         jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     )
@@ -62,6 +70,7 @@ def _common_kwargs(cfg):
         roi_iou_threshold=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],
         proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
         roi_chunk=cfg.TPU.ROI_CHUNK,
+        sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
         box_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
         smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
         cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,

@@ -85,7 +85,7 @@ class Res5ROIHeads(nn.Module):
     num_classes: int
     pooler_resolution: int = 7
     pooler_scale: float = 1.0 / 16.0
-    sampling_ratio: int = 2
+    sampling_ratio: int = 0  # 0 = adaptive ceil(roi/bin) (d2 default)
     res2_out_channels: int = 256
     width_per_group: int = 64
     res5_blocks: int = 3

@@ -7,16 +7,21 @@ defrcn/evaluation/calibration_layer.py:27 (1x1, scale 1/32).
 
 Semantics (aligned=True):
   * continuous coordinates: x_feat = x_img * spatial_scale - 0.5
-  * each output bin is sampled on an SxS sub-grid at bin-relative positions
-    (i + 0.5)/S and averaged
+  * each output bin is sampled on a sub-grid at bin-relative positions
+    (j + 0.5)/S and averaged; S is either the static ``sampling_ratio`` or,
+    for ``sampling_ratio=0`` (detectron2's POOLER_SAMPLING_RATIO default,
+    the one every reference config runs), the per-ROI-per-axis adaptive
+    count ceil(roi_size / output_size) of the CUDA kernel.
   * samples outside [-1, H] (resp. W) contribute 0; in-range samples clamp
     to [0, H-1] for the bilinear corners.
 
-Deviation from the reference config (documented): detectron2 uses
-POOLER_SAMPLING_RATIO=0, i.e. a per-ROI adaptive ceil(roi/bin) sub-grid —
-a data-dependent shape that XLA cannot tile. We use a static S (default 2,
-detectron2's recommended explicit value); mAP impact is ~0.1 per upstream
-ablations.
+Adaptive sampling is data-dependent in the CUDA kernel but fixed-shape
+here: each axis allocates the static worst case S_max = ceil(feat / P)
+sample slots (an in-image ROI can never need more) and masks slot j with
+weight (j < g)/g, g = ceil(bin). A ROI degenerate along an axis (g = 0)
+gets all-zero weights — output 0, exactly the CUDA loop running zero
+iterations. Boxes LARGER than the feature map (impossible for clipped
+proposals/GT) clamp to S_max samples — the one documented deviation.
 
 Everything is fixed-shape: R ROIs per image, vmap over the batch. Gradients
 flow via XLA scatter-add from autodiff.
@@ -25,6 +30,7 @@ flow via XLA scatter-add from autodiff.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +80,22 @@ def _bilinear_sample(feat: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     return jnp.where(oob[..., None], jnp.zeros((), dt), val)
 
 
+class ROISampleGeometry(NamedTuple):
+    """Per-axis sample plan shared by both ROIAlign formulations."""
+
+    y1: jnp.ndarray      # (R,) continuous ROI starts, feature coords
+    x1: jnp.ndarray
+    bin_h: jnp.ndarray   # (R,) bin sizes (1e-6 degenerate clamp)
+    bin_w: jnp.ndarray
+    grid_y: jnp.ndarray  # (R|1, P'*Sy) in-ROI sample offsets (bin units)
+    grid_x: jnp.ndarray  # (R|1, P'*Sx)
+    wy: jnp.ndarray      # (R|1, Sy) per-sub-sample averaging weights
+    wx: jnp.ndarray      # (R|1, Sx)
+    p_out: int           # emitted bins per axis
+    sy: int              # sample slots per bin along y (static)
+    sx: int
+
+
 def roi_sample_geometry(
     boxes: jnp.ndarray,
     spatial_scale: float,
@@ -81,18 +103,22 @@ def roi_sample_geometry(
     sampling_ratio: int,
     bin_stride: int,
     grid_dtype,
+    feat_hw=None,
 ):
     """Shared aligned=True ROI geometry for both ROIAlign formulations.
 
     This is THE definition of the coordinate transform
-    (``x_feat = x_img * scale - 0.5``), the 1e-6 degenerate-ROI clamp, and
-    the per-bin sub-sample grid ``i + (j + 0.5)/S`` — ops/roi_align_mxu.py
-    imports it so the two backends (switched by FSODTF_ROIALIGN) cannot
-    silently diverge.
+    (``x_feat = x_img * scale - 0.5``), the 1e-6 degenerate-ROI clamp, the
+    per-bin sub-sample grid ``i + (j + 0.5)/S``, and the adaptive
+    ``sampling_ratio=0`` masking — ops/roi_align_mxu.py imports it so the
+    two backends (switched by FSODTF_ROIALIGN) cannot silently diverge.
 
-    Returns (y1, x1, bin_h, bin_w, grid, p_out): (R,) starts and bin sizes
-    in feature coordinates, the flattened (P'*S,) in-ROI sample offsets,
-    and P' = number of emitted bins per axis.
+    ``sampling_ratio > 0``: the static SxS grid (weights uniform 1/S,
+    grids shared across ROIs with leading dim 1). ``sampling_ratio == 0``:
+    detectron2's adaptive g = ceil(roi/bin) per ROI per axis, realized as
+    ``feat_hw``-derived static worst-case slots with masked 1/g weights
+    (module docstring has the exactness argument). ``feat_hw`` (static
+    feature H, W) is required for the adaptive mode.
     """
     p = output_size
     s = sampling_ratio
@@ -102,12 +128,45 @@ def roi_sample_geometry(
     y2 = boxes[:, 3] * spatial_scale - 0.5
     bin_w = jnp.maximum(x2 - x1, 1e-6) / p
     bin_h = jnp.maximum(y2 - y1, 1e-6) / p
-    grid = (
-        jnp.arange(0, p, bin_stride, dtype=grid_dtype)[:, None]
-        + (jnp.arange(s, dtype=grid_dtype)[None, :] + 0.5) / s
-    ).reshape(-1)  # (P'*S,)
+    bins = jnp.arange(0, p, bin_stride, dtype=grid_dtype)
     p_out = len(range(0, p, bin_stride))
-    return y1, x1, bin_h, bin_w, grid, p_out
+
+    if s > 0:
+        grid = (
+            bins[:, None]
+            + (jnp.arange(s, dtype=grid_dtype)[None, :] + 0.5) / s
+        ).reshape(1, -1)  # (1, P'*S)
+        w = jnp.full((1, s), 1.0 / s, grid_dtype)
+        return ROISampleGeometry(
+            y1, x1, bin_h, bin_w, grid, grid, w, w, p_out, s, s
+        )
+
+    if feat_hw is None:
+        raise ValueError("sampling_ratio=0 (adaptive) needs feat_hw")
+    h, w_ = feat_hw
+    sy = max(1, -(-int(h) // p))
+    sx = max(1, -(-int(w_) // p))
+
+    def axis(raw_size, cap):
+        # d2 CUDA: g = ceil(roi_size / pooled_size) from the UNCLAMPED
+        # size; g = 0 (degenerate axis) -> zero iterations -> output 0,
+        # reproduced by all-zero weights. Computed in f32 (bf16 grid
+        # offsets would quantize sample positions by ~0.03 bins).
+        g = jnp.clip(jnp.ceil(raw_size.astype(jnp.float32) / p), 0.0, cap)
+        gs = jnp.maximum(g, 1.0)[:, None]  # (R, 1)
+        j = jnp.arange(cap, dtype=jnp.float32)
+        wgt = jnp.where(j[None, :] < g[:, None], 1.0, 0.0) / gs
+        grid = (
+            bins.astype(jnp.float32)[None, :, None]
+            + (j[None, None, :] + 0.5) / gs[:, :, None]
+        ).reshape(raw_size.shape[0], -1)  # (R, P'*cap)
+        return grid.astype(grid_dtype), wgt.astype(grid_dtype)
+
+    grid_y, wy = axis(y2 - y1, sy)
+    grid_x, wx = axis(x2 - x1, sx)
+    return ROISampleGeometry(
+        y1, x1, bin_h, bin_w, grid_y, grid_x, wy, wx, p_out, sy, sx
+    )
 
 
 @partial(
@@ -132,7 +191,8 @@ def roi_align(
         boxes: (R, 4) XYXY in image coordinates.
         output_size: P — output is (R, P', P', C).
         spatial_scale: feature stride reciprocal.
-        sampling_ratio: S — SxS samples per bin, averaged.
+        sampling_ratio: S — SxS samples per bin, averaged; 0 = adaptive
+            per-ROI ceil(roi/bin) sampling (detectron2 default).
         bin_stride: emit only the bins range(0, P, bin_stride) per axis
             (bin geometry unchanged; P' = number of emitted bins). Used to
             skip pooled positions a following strided conv never reads.
@@ -140,24 +200,26 @@ def roi_align(
     Returns:
         (R, P', P', C) pooled features.
     """
-    s = sampling_ratio
-
-    y1, x1, bin_h, bin_w, grid, p_out = roi_sample_geometry(
-        boxes, spatial_scale, output_size, s, bin_stride, feat.dtype
+    g = roi_sample_geometry(
+        boxes, spatial_scale, output_size, sampling_ratio, bin_stride,
+        feat.dtype, feat_hw=feat.shape[:2],
     )
 
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (R, P'*S)
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]  # (R, P'*S)
+    ys = g.y1[:, None] + g.grid_y * g.bin_h[:, None]  # (R, P'*Sy)
+    xs = g.x1[:, None] + g.grid_x * g.bin_w[:, None]  # (R, P'*Sx)
 
-    yy = ys[:, :, None]  # (R, P'*S, 1)
-    xx = xs[:, None, :]  # (R, 1, P'*S)
-    yy, xx = jnp.broadcast_arrays(yy, xx)  # (R, P'*S, P'*S)
+    yy = ys[:, :, None]  # (R, P'*Sy, 1)
+    xx = xs[:, None, :]  # (R, 1, P'*Sx)
+    yy, xx = jnp.broadcast_arrays(yy, xx)  # (R, P'*Sy, P'*Sx)
 
-    vals = _bilinear_sample(feat, yy, xx)  # (R, P'*S, P'*S, C)
+    vals = _bilinear_sample(feat, yy, xx)  # (R, P'*Sy, P'*Sx, C)
     r = boxes.shape[0]
     c = feat.shape[-1]
-    vals = vals.reshape(r, p_out, s, p_out, s, c)
-    return vals.mean(axis=(2, 4))
+    vals = vals.reshape(r, g.p_out, g.sy, g.p_out, g.sx, c)
+    # weighted in-bin average; uniform 1/S weights for the static grid
+    wy = jnp.broadcast_to(g.wy, (r, g.sy)).astype(vals.dtype)
+    wx = jnp.broadcast_to(g.wx, (r, g.sx)).astype(vals.dtype)
+    return jnp.einsum("rpjqkc,rj,rk->rpqc", vals, wy, wx)
 
 
 def roi_align_auto(

@@ -31,16 +31,18 @@ import jax.numpy as jnp
 from .roi_align import roi_sample_geometry
 
 
-def _interp_matrix(start, bin_size, grid, size: int, p_out: int, s: int):
+def _interp_matrix(start, bin_size, grid, wsamp, size: int, p_out: int,
+                   s: int):
     """Pooled bilinear interpolation matrix along one axis.
 
     start: (R,) continuous ROI start (feature coords, aligned=True);
-    bin_size: (R,); grid: (P'*S,) in-ROI sample offsets from
-    roi_sample_geometry. Returns (R, P', size): row (r, i) holds the
-    averaged bilinear weights of emitted bin i against the `size` feature
-    positions.
+    bin_size: (R,); grid: (R|1, P'*S) in-ROI sample offsets and
+    wsamp: (R|1, S) per-sub-sample averaging weights from
+    roi_sample_geometry (uniform 1/S static grid, or masked 1/g adaptive).
+    Returns (R, P', size): row (r, i) holds the averaged bilinear weights
+    of emitted bin i against the `size` feature positions.
     """
-    t = start[:, None] + grid[None, :] * bin_size[:, None]  # (R, P'*S)
+    t = start[:, None] + grid * bin_size[:, None]  # (R, P'*S)
 
     # boundary rule: out of [-1, size] contributes nothing; in-range
     # samples clamp to [0, size-1]
@@ -53,8 +55,8 @@ def _interp_matrix(start, bin_size, grid, size: int, p_out: int, s: int):
     # clamped-at-edge coordinates put full weight on the edge cell already
     w = jnp.where(oob[:, :, None], 0.0, w)
     r = start.shape[0]
-    w = w.reshape(r, p_out, s, size).sum(axis=2) / s  # average sub-samples
-    return w
+    w = w.reshape(r, p_out, s, size) * wsamp[:, None, :, None]
+    return w.sum(axis=2)
 
 
 @partial(
@@ -75,23 +77,26 @@ def roi_align_mxu(
 ) -> jnp.ndarray:
     """(R, P', P', C) pooled features via two matmuls per ROI chunk,
     P' = ceil(output_size / bin_stride) (the bins range(0, P, bin_stride))."""
-    s = sampling_ratio
     h, w, c = feat.shape
     rtot = boxes.shape[0]
     dt = feat.dtype
     wt = jnp.float32  # build weights in f32, cast for the MXU
 
-    y1, x1, bin_h, bin_w, grid, p_out = roi_sample_geometry(
-        boxes, spatial_scale, output_size, s, bin_stride, wt
+    geo = roi_sample_geometry(
+        boxes, spatial_scale, output_size, sampling_ratio, bin_stride, wt,
+        feat_hw=(h, w),
     )
+    p_out = geo.p_out
     if rtot == 0:  # degenerate shape: match the gather backend
         return jnp.zeros((0, p_out, p_out, c), dt)
 
     wy = _interp_matrix(
-        y1.astype(wt), bin_h.astype(wt), grid, h, p_out, s
+        geo.y1.astype(wt), geo.bin_h.astype(wt), geo.grid_y, geo.wy,
+        h, p_out, geo.sy,
     )  # (R, P', H)
     wx = _interp_matrix(
-        x1.astype(wt), bin_w.astype(wt), grid, w, p_out, s
+        geo.x1.astype(wt), geo.bin_w.astype(wt), geo.grid_x, geo.wx,
+        w, p_out, geo.sx,
     )  # (R, P', W)
     wy = wy.astype(dt)
     wx = wx.astype(dt)

@@ -34,16 +34,17 @@ def _boxes(n, h, w, seed=0):
     return jnp.asarray(b, jnp.float32)
 
 
+@pytest.mark.parametrize("sampling", [2, 0])
 @pytest.mark.parametrize("op", [roi_align, roi_align_mxu])
-def test_bin_stride_selects_even_bins(op):
+def test_bin_stride_selects_even_bins(op, sampling):
     rng = np.random.RandomState(1)
     feat = jnp.asarray(rng.randn(12, 17, 8), jnp.float32)
     boxes = _boxes(9, 12, 17)
-    full = op(feat, boxes, 7, 1 / 16.0, 2)
+    full = op(feat, boxes, 7, 1 / 16.0, sampling)
     if op is roi_align_mxu:
-        sub = op(feat, boxes, 7, 1 / 16.0, 2, 0, 2)
+        sub = op(feat, boxes, 7, 1 / 16.0, sampling, 0, 2)
     else:
-        sub = op(feat, boxes, 7, 1 / 16.0, 2, 2)
+        sub = op(feat, boxes, 7, 1 / 16.0, sampling, 2)
     np.testing.assert_allclose(
         np.asarray(sub), np.asarray(full)[:, ::2, ::2], rtol=0, atol=1e-5
     )

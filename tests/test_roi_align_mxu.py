@@ -45,6 +45,48 @@ def test_mxu_matches_gather_1x1_pcb():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_mxu_matches_gather_adaptive():
+    """sampling_ratio=0 (adaptive): both backends share the geometry
+    helper's masked-weight plan; outputs must agree on mixed ROI sizes
+    incl. a degenerate-axis box (zero output)."""
+    rng = np.random.RandomState(5)
+    feat = rng.randn(20, 30, 8).astype(np.float32)
+    boxes = np.concatenate(
+        [_boxes(), np.array([[64.0, 64.0, 64.0, 200.0]], np.float32)]
+    )
+    ref = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16.0, 0)
+    )
+    got = np.asarray(
+        roi_align_mxu(jnp.asarray(feat), jnp.asarray(boxes), 7, 1 / 16.0, 0)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert np.all(got[-1] == 0.0)
+
+    # PCB mode: 1x1 @1/32 adaptive
+    featp = rng.randn(10, 12, 4).astype(np.float32)
+    boxesp = np.array(
+        [[32.0, 32.0, 256.0, 192.0], [0.0, 0.0, 384.0, 320.0]], np.float32
+    )
+    refp = np.asarray(
+        roi_align(jnp.asarray(featp), jnp.asarray(boxesp), 1, 1 / 32.0, 0)
+    )
+    gotp = np.asarray(
+        roi_align_mxu(jnp.asarray(featp), jnp.asarray(boxesp), 1, 1 / 32.0, 0)
+    )
+    np.testing.assert_allclose(gotp, refp, rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_gradients_adaptive():
+    feat = jnp.asarray(np.random.RandomState(6).randn(8, 8, 4), jnp.float32)
+    boxes = jnp.asarray([[16.0, 16.0, 96.0, 96.0], [0.0, 0.0, 128.0, 128.0]])
+
+    g1 = jax.grad(lambda f: roi_align(f, boxes, 7, 1 / 16.0, 0).sum())(feat)
+    g2 = jax.grad(lambda f: roi_align_mxu(f, boxes, 7, 1 / 16.0, 0).sum())(feat)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-4)
+    assert float(jnp.abs(g1).sum()) > 0
+
+
 def test_mxu_gradients():
     feat = jnp.asarray(np.random.RandomState(2).randn(8, 8, 4), jnp.float32)
     boxes = jnp.asarray([[16.0, 16.0, 96.0, 96.0]])

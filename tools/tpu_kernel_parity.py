@@ -114,6 +114,20 @@ def check_roi_align(jax, jnp):
     )
     print(f"  roi_align bf16: max rel {rel16:.2e}")
     fails += rel16 > 0.05  # bf16 has ~3 decimal digits; gather vs matmul
+
+    # adaptive sampling_ratio=0 (the production config): same contract
+    with jax.default_matmul_precision("float32"):
+        aa = np.asarray(
+            jax.jit(lambda f, b: roi_align(f, b, 7, 1 / 16.0, 0))(feat, boxes)
+        )
+        ba = np.asarray(
+            jax.jit(lambda f, b: roi_align_mxu(f, b, 7, 1 / 16.0, 0))(
+                feat, boxes
+            )
+        )
+    rel0 = np.abs(aa - ba).max() / max(np.abs(aa).max(), 1e-6)
+    print(f"  roi_align adaptive (ratio=0) f32: max rel {rel0:.2e}")
+    fails += rel0 > 1e-5
     return fails
 
 
