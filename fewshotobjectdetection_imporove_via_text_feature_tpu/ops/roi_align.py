@@ -250,19 +250,3 @@ def roi_align_auto(
     )
 
 
-def roi_align_batched(
-    feats: jnp.ndarray,
-    boxes: jnp.ndarray,
-    output_size: int = 7,
-    spatial_scale: float = 1.0 / 16.0,
-    sampling_ratio: int = 2,
-) -> jnp.ndarray:
-    """vmap over the batch: feats (B, H, W, C), boxes (B, R, 4) ->
-    (B, R, P, P, C)."""
-    fn = partial(
-        roi_align,
-        output_size=output_size,
-        spatial_scale=spatial_scale,
-        sampling_ratio=sampling_ratio,
-    )
-    return jax.vmap(fn)(feats, boxes)
