@@ -85,7 +85,9 @@ class GeneralizedRCNN(nn.Module):
     roi_iou_threshold: float = 0.5
     proposal_append_gt: bool = True  # cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT
     roi_chunk: int = 256
-    # cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO; 0 = adaptive (d2 default)
+    # cfg.MODEL.ROI_BOX_HEAD.{POOLER_RESOLUTION, POOLER_SAMPLING_RATIO};
+    # sampling_ratio 0 = adaptive ceil(roi/bin) (d2 default)
+    pooler_resolution: int = 7
     sampling_ratio: int = 0
     box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     smooth_l1_beta: float = 0.0
@@ -145,6 +147,7 @@ class GeneralizedRCNN(nn.Module):
                 self.output_layer == "FastRCNNAttentionOutputLayers"
             ),
             roi_chunk=self.roi_chunk,
+            pooler_resolution=self.pooler_resolution,
             sampling_ratio=self.sampling_ratio,
             stride_in_1x1=self.stride_in_1x1,
             elide_strided_bins=self.elide_strided_bins,
@@ -162,6 +165,7 @@ class GeneralizedRCNN(nn.Module):
                 cls_dropout=self.cls_dropout,
                 dropout_ratio=self.dropout_ratio,
                 roi_chunk=self.roi_chunk,
+                pooler_resolution=self.pooler_resolution,
                 sampling_ratio=self.sampling_ratio,
                 dtype=self.dtype,
             )

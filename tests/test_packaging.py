@@ -55,16 +55,19 @@ def test_required_dependencies_importable():
 
 
 def test_package_discovery_includes_all_subpackages():
+    """Every top-level importable package in the repo root must be matched
+    by the discovery glob, or it would silently ship missing from wheels
+    (tests/ and tools/ are intentionally not distributed)."""
     proj = _load_pyproject()
     include = proj["tool"]["setuptools"]["packages"]["find"]["include"]
     assert include == ["fewshotobjectdetection_imporove_via_text_feature_tpu*"]
-    # every package dir under the tree matches the discovery glob
-    pkg_root = os.path.join(
-        REPO, "fewshotobjectdetection_imporove_via_text_feature_tpu"
-    )
-    for dirpath, dirnames, filenames in os.walk(pkg_root):
-        if "__init__.py" in filenames:
-            rel = os.path.relpath(dirpath, REPO).replace(os.sep, ".")
-            assert rel.startswith(
-                "fewshotobjectdetection_imporove_via_text_feature_tpu"
-            )
+    undistributed = {"tests", "tools"}
+    for entry in sorted(os.listdir(REPO)):
+        d = os.path.join(REPO, entry)
+        if not os.path.isfile(os.path.join(d, "__init__.py")):
+            continue
+        if entry in undistributed:
+            continue
+        assert entry.startswith(
+            "fewshotobjectdetection_imporove_via_text_feature_tpu"
+        ), f"top-level package {entry!r} is not covered by the include glob"
