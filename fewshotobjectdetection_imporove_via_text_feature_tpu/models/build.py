@@ -28,6 +28,14 @@ def _common_kwargs(cfg):
             f"POOLER_TYPE {cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE!r}: only "
             "ROIAlignV2 (aligned bilinear) is implemented"
         )
+    if (
+        cfg.MODEL.ROI_HEADS.NAME == "StandardROIHeads"
+        and cfg.MODEL.ROI_BOX_HEAD.NORM
+    ):
+        raise NotImplementedError(
+            "ROI_BOX_HEAD.NORM: the ConvFC tower is norm-free (the d2 "
+            "default; no reference config sets a norm)"
+        )
     dtype = (
         jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     )
@@ -72,6 +80,12 @@ def _common_kwargs(cfg):
         roi_chunk=cfg.TPU.ROI_CHUNK,
         pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
         sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        box_convfc=(
+            cfg.MODEL.ROI_BOX_HEAD.NUM_CONV,
+            cfg.MODEL.ROI_BOX_HEAD.CONV_DIM,
+            cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
+            cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+        ),
         box_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
         smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
         cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,

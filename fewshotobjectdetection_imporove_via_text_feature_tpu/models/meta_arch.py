@@ -89,6 +89,9 @@ class GeneralizedRCNN(nn.Module):
     # sampling_ratio 0 = adaptive ceil(roi/bin) (d2 default)
     pooler_resolution: int = 7
     sampling_ratio: int = 0
+    # cfg.MODEL.ROI_BOX_HEAD.{NUM_CONV, CONV_DIM, NUM_FC, FC_DIM} — the
+    # ConvFC tower; consumed only by StandardROIHeads
+    box_convfc: Tuple[int, int, int, int] = (0, 256, 2, 1024)
     box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
     smooth_l1_beta: float = 0.0
     cls_agnostic_bbox_reg: bool = False
@@ -159,8 +162,20 @@ class GeneralizedRCNN(nn.Module):
         if name == "StandardROIHeads":
             from .box_head import StandardROIHeads
 
+            num_conv, conv_dim, num_fc, fc_dim = self.box_convfc
+            if num_conv + num_fc == 0:
+                # d2 box_head.py asserts a non-empty tower; the flattened
+                # pooled map would otherwise feed the predictors raw
+                raise ValueError(
+                    "StandardROIHeads needs ROI_BOX_HEAD.NUM_CONV + "
+                    "NUM_FC > 0 (d2 FastRCNNConvFCHead assert)"
+                )
             return StandardROIHeads(
                 num_classes=self.num_classes,
+                num_conv=num_conv,
+                conv_dim=conv_dim,
+                num_fc=num_fc,
+                fc_dim=fc_dim,
                 cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
                 cls_dropout=self.cls_dropout,
                 dropout_ratio=self.dropout_ratio,

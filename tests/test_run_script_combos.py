@@ -295,6 +295,51 @@ def test_pooler_keys_plumb_into_heads():
         build_model(cfg2)
 
 
+def test_convfc_keys_plumb_into_standard_roi_heads():
+    """ROI_BOX_HEAD.{NUM_CONV, CONV_DIM, NUM_FC, FC_DIM} reach the
+    StandardROIHeads ConvFC towers; an empty tower and a requested norm
+    fail loudly (d2 FastRCNNConvFCHead assert / norm-free tower)."""
+    base = TINY + ["MODEL.ROI_HEADS.NAME", "StandardROIHeads"]
+
+    cfg = get_cfg()
+    cfg.merge_from_list(base + [
+        "MODEL.ROI_BOX_HEAD.NUM_CONV", "1",
+        "MODEL.ROI_BOX_HEAD.CONV_DIM", "64",
+        "MODEL.ROI_BOX_HEAD.NUM_FC", "1",
+        "MODEL.ROI_BOX_HEAD.FC_DIM", "128",
+    ])
+    m = build_model(cfg)
+    images, gt = _tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(m.init, train=True))(rngs, images, gt)
+    head = m.bind(params).roi_heads
+    assert (head.num_conv, head.conv_dim, head.num_fc, head.fc_dim) == (
+        1, 64, 1, 128,
+    )
+    # the tower params actually took the requested shapes
+    tower = params["params"]["roi_heads"]["cls_head"]
+    assert tower["conv1"]["kernel"].shape[-1] == 64
+    assert tower["fc1"]["kernel"].shape[-1] == 128
+
+    # empty tower (schema defaults NUM_CONV=NUM_FC=0): d2 asserts
+    cfg2 = get_cfg()
+    cfg2.merge_from_list(base)
+    with pytest.raises(ValueError, match="NUM_CONV"):
+        build_model(cfg2).bind({}).build_roi_heads()
+
+    cfg3 = get_cfg()
+    cfg3.merge_from_list(base + [
+        "MODEL.ROI_BOX_HEAD.NUM_FC", "2",
+        "MODEL.ROI_BOX_HEAD.NORM", "GN",
+    ])
+    with pytest.raises(NotImplementedError, match="NORM"):
+        build_model(cfg3)
+
+
 _ALL_CONFIG_YAMLS = sorted(
     glob.glob(os.path.join(ROOT, "configs", "**", "*.yaml"), recursive=True)
 ) + sorted(glob.glob("/root/reference/configs/**/*.yaml", recursive=True))
