@@ -16,23 +16,25 @@ logger = logging.getLogger(__name__)
 
 # Traced inference programs, reused across inference_on_dataset calls
 # (periodic EvalHook evals would otherwise re-trace the full detector
-# every period — compilation is disk-cached but tracing is not). Keyed
-# weakly on the model module; flax modules compare by config, so an
-# equal-config model reuses the entry. Values: {"apply": fn,
-# "raw": {(target_hw, max_size): fn}}.
-import weakref
-
-_jit_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# every period — compilation is disk-cached but tracing is not). Keyed by
+# id(model) — NOT by the module itself: text-family modules carry numpy
+# class-embedding attributes and are unhashable (a WeakKeyDictionary here
+# crashed every text/semantic model evaluation). The entry's jitted
+# bound method pins the model alive, so an id can never be recycled into
+# a stale hit; entries live for the process (one per model built — the
+# CLI/EvalHook build a handful).
+_jit_cache: dict = {}
 
 
 def _model_cache(model):
-    entry = _jit_cache.get(model)
+    key = id(model)
+    entry = _jit_cache.get(key)
     if entry is None:
         entry = {
             "apply": jax.jit(partial(model.apply, train=False)),
             "raw": {},
         }
-        _jit_cache[model] = entry
+        _jit_cache[key] = entry
     return entry
 
 

@@ -79,6 +79,15 @@ class GeneralizedRCNN(nn.Module):
     rpn_nms_thresh: float = 0.7
     rpn_batch_per_image: int = 256
     rpn_positive_fraction: float = 0.5
+    # cfg.MODEL.RPN.{IOU_THRESHOLDS, SMOOTH_L1_BETA, BBOX_REG_WEIGHTS,
+    # LOSS_WEIGHT, BBOX_REG_LOSS_WEIGHT} + PROPOSAL_GENERATOR.MIN_SIZE —
+    # d2 defaults; every reference config leaves them untouched
+    rpn_iou_thresholds: Tuple[float, float] = (0.3, 0.7)
+    rpn_smooth_l1_beta: float = 0.0
+    rpn_bbox_reg_weights: Tuple[float, float, float, float] = (1.0,) * 4
+    rpn_loss_weight: float = 1.0
+    rpn_bbox_reg_loss_weight: float = 1.0
+    rpn_min_size: float = 0.0
     # ROI
     roi_batch_per_image: int = 512
     roi_positive_fraction: float = 0.25
@@ -287,6 +296,8 @@ class GeneralizedRCNN(nn.Module):
             pre_nms_topk=self.rpn_pre_nms_topk[idx],
             post_nms_topk=self.rpn_post_nms_topk[idx],
             nms_thresh=self.rpn_nms_thresh,
+            min_size=self.rpn_min_size,
+            bbox_reg_weights=self.rpn_bbox_reg_weights,
         )
         return logits, deltas, anchors, proposals
 
@@ -327,12 +338,16 @@ class GeneralizedRCNN(nn.Module):
                 k, anchors, gtb,
                 batch_size_per_image=self.rpn_batch_per_image,
                 positive_fraction=self.rpn_positive_fraction,
+                iou_thresholds=self.rpn_iou_thresholds,
             )
         )(anchor_keys[1:], gt)
         losses = rpn_losses(
             logits, deltas, anchors, gt_labels, matched_boxes,
             batch_size_per_image=self.rpn_batch_per_image,
-            smooth_l1_beta=0.0,
+            smooth_l1_beta=self.rpn_smooth_l1_beta,
+            bbox_reg_weights=self.rpn_bbox_reg_weights,
+            loss_weight=self.rpn_loss_weight,
+            bbox_reg_loss_weight=self.rpn_bbox_reg_loss_weight,
         )
         # Training diagnostics the reference puts into EventStorage
         # (rpn.py:360-365). "metric/" keys are excluded from total_loss by

@@ -143,16 +143,23 @@ def rpn_losses(
     matched_boxes: jnp.ndarray,  # (B, N, 4)
     batch_size_per_image: int = 256,
     smooth_l1_beta: float = 0.0,
+    bbox_reg_weights=(1.0, 1.0, 1.0, 1.0),
+    loss_weight: float = 1.0,
+    bbox_reg_loss_weight: float = 1.0,
 ):
     """Objectness BCE + smooth-L1 on positives, both normalized by
-    B * batch_size_per_image (ref rpn.py:327-395)."""
+    B * batch_size_per_image (ref rpn.py:327-395). ``loss_weight``
+    scales both losses (d2 RPN.LOSS_WEIGHT); ``bbox_reg_loss_weight``
+    additionally scales the localization term."""
     b = pred_logits.shape[0]
     normalizer = float(b * batch_size_per_image)
 
     pos = gt_labels == 1
     valid = gt_labels >= 0
 
-    gt_deltas = encode_deltas(anchors[None], matched_boxes)  # (B, N, 4)
+    gt_deltas = encode_deltas(
+        anchors[None], matched_boxes, bbox_reg_weights
+    )  # (B, N, 4)
     diff = pred_deltas - gt_deltas
     if smooth_l1_beta > 0:
         ad = jnp.abs(diff)
@@ -171,14 +178,17 @@ def rpn_losses(
     bce = jnp.maximum(z, 0.0) - z * labels_f + jnp.log1p(jnp.exp(-jnp.abs(z)))
     loss_cls = jnp.sum(jnp.where(valid, bce, 0.0)) / normalizer
 
-    return {"loss_rpn_cls": loss_cls, "loss_rpn_loc": loss_loc}
+    return {
+        "loss_rpn_cls": loss_cls * loss_weight,
+        "loss_rpn_loc": loss_loc * loss_weight * bbox_reg_loss_weight,
+    }
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "feat_hw", "stride", "pre_nms_topk", "post_nms_topk", "nms_thresh",
-        "min_size",
+        "min_size", "bbox_reg_weights",
     ),
 )
 def select_top_proposals(
@@ -192,6 +202,7 @@ def select_top_proposals(
     post_nms_topk: int,
     nms_thresh: float = 0.7,
     min_size: float = 0.0,
+    bbox_reg_weights: Tuple[float, float, float, float] = (1.0,) * 4,
 ) -> Proposals:
     """find_top_rpn_proposals, fixed-shape (spec proposal_utils.py:14-120):
     top-k by objectness -> decode -> clip -> drop empty -> NMS -> top
@@ -221,10 +232,11 @@ def select_top_proposals(
         # formulation gathered the four delta components separately after
         # top_k; four scalar gathers cost more than decoding everything.
         d = deltas.reshape(fh, fw, num_a, 4)
-        pcx = d[..., 0] * cw + acx
-        pcy = d[..., 1] * ch + acy
-        pw = jnp.exp(jnp.minimum(d[..., 2], SCALE_CLAMP)) * cw
-        ph = jnp.exp(jnp.minimum(d[..., 3], SCALE_CLAMP)) * ch
+        wx, wy, ww, wh = bbox_reg_weights  # static -> fused constants
+        pcx = d[..., 0] / wx * cw + acx
+        pcy = d[..., 1] / wy * ch + acy
+        pw = jnp.exp(jnp.minimum(d[..., 2] / ww, SCALE_CLAMP)) * cw
+        ph = jnp.exp(jnp.minimum(d[..., 3] / wh, SCALE_CLAMP)) * ch
         img_h = hw[0].astype(dt)
         img_w = hw[1].astype(dt)
         x1 = jnp.clip(pcx - 0.5 * pw, 0.0, img_w)

@@ -103,6 +103,35 @@ def test_text_roi_heads_train_and_infer(head):
     assert det.boxes.shape[0] == 2
 
 
+def test_model_cache_handles_unhashable_text_models():
+    """evaluator._model_cache must not hash the module: text-family models
+    carry numpy class-embedding attributes and are unhashable (a
+    WeakKeyDictionary key crashed every text/semantic evaluation)."""
+    import gc
+    import weakref
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation import (
+        evaluator as ev,
+    )
+
+    model = GeneralizedRCNN(
+        roi_heads_name="TextRes5ROIHeads", class_embed=bank(),
+        bg_embed=bg(), **TINY,
+    )
+    with pytest.raises(TypeError):
+        hash(model)  # the precondition that broke the old cache
+    entry = ev._model_cache(model)
+    assert ev._model_cache(model) is entry  # reused, not re-traced
+    key = id(model)
+    assert key in ev._jit_cache
+    # the cached jit pins the model (bound method), so the id-key can
+    # never be recycled into a stale hit while the entry exists
+    ref = weakref.ref(model)
+    del model, entry
+    gc.collect()
+    assert ref() is not None
+
+
 @pytest.mark.parametrize(
     "cls",
     [GeneralizedSemanticRCNN, GeneralizedDistillatedRCNN, GeneralizedTextRCNN,
