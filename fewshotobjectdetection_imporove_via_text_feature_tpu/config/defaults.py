@@ -230,7 +230,6 @@ _C.TPU.IMAGE_BUCKETS = ((512, 864), (672, 1120), (800, 1344))  # (h, w) pads
 # clipping negligible at ~1.5 ms extra
 _C.TPU.MAX_DETECTIONS_PRE_NMS = 2048
 _C.TPU.COMPUTE_DTYPE = "bfloat16"   # backbone/head matmul dtype
-_C.TPU.MESH_DATA_AXIS = "data"
 # off by default: batch-16 bf16 training fits HBM without remat
 _C.TPU.REMAT_BACKBONE = False
 # observability (SURVEY.md §5.1/§5.2): profiler trace capture + NaN guard

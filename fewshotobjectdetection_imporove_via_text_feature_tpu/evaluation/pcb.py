@@ -50,6 +50,12 @@ class PrototypicalCalibrationBlock:
         self.upper = cfg.TEST.PCB_UPPER
         self.lower = cfg.TEST.PCB_LOWER
 
+        # ref calibration_layer.py:34-37: 'resnet' or NotImplementedError
+        if cfg.TEST.PCB_MODELTYPE != "resnet":
+            raise NotImplementedError(
+                f"TEST.PCB_MODELTYPE {cfg.TEST.PCB_MODELTYPE!r}: only "
+                "'resnet' exists (the reference raises the same way)"
+            )
         self.model = TorchvisionResNet(depth=101)
         self.params = self._load_params(cfg.TEST.PCB_MODELPATH)
         self._extract = {}

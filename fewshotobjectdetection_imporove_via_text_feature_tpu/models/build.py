@@ -19,7 +19,55 @@ def register_meta_arch(name):
     return deco
 
 
+# Architecture facets this build fixes at the d2/reference default (no
+# reference config changes any of them). A non-default override would
+# otherwise be SILENTLY ignored — a silently wrong model — so build fails
+# loudly instead. Keys the reference itself sets-but-never-reads
+# (MODEL.RPN.ADDITION, MODEL.ADDITION.{TEACHER,STUDENT}_TRAINING/
+# DISTIL_MODE) and keys that are no-ops on this model in d2 too
+# (TEST.PRECISE_BN with FrozenBN, MODEL.DEVICE, CUDNN_BENCHMARK) stay
+# silently accepted — that IS the reference behavior.
+_FIXED_AT_DEFAULT = (
+    ("MODEL.MASK_ON", False),
+    ("MODEL.KEYPOINT_ON", False),
+    ("MODEL.LOAD_PROPOSALS", False),
+    ("MODEL.BACKBONE.NAME", "build_resnet_backbone"),
+    ("MODEL.RESNETS.OUT_FEATURES", ("res4",)),
+    ("MODEL.RESNETS.NUM_GROUPS", 1),
+    ("MODEL.RESNETS.NORM", "FrozenBN"),
+    ("MODEL.RESNETS.RES5_DILATION", 1),
+    ("MODEL.RESNETS.DEFORM_ON_PER_STAGE", (False,) * 4),
+    ("MODEL.ANCHOR_GENERATOR.OFFSET", 0.0),
+    ("MODEL.PROPOSAL_GENERATOR.NAME", "RPN"),
+    ("MODEL.RPN.IN_FEATURES", ("res4",)),
+    ("MODEL.RPN.IOU_LABELS", (0, -1, 1)),
+    ("MODEL.ROI_HEADS.IN_FEATURES", ("res4",)),
+    ("MODEL.ROI_HEADS.IOU_LABELS", (0, 1)),
+    ("MODEL.ROI_BOX_HEAD.NAME", "FastRCNNConvFCHead"),
+    ("INPUT.MIN_SIZE_TRAIN_SAMPLING", "choice"),
+    ("DATALOADER.SAMPLER_TRAIN", "TrainingSampler"),
+    ("DATALOADER.ASPECT_RATIO_GROUPING", True),
+    ("TEST.AUG.ENABLED", False),
+)
+
+
+def _validate_fixed(cfg):
+    for dotted, want in _FIXED_AT_DEFAULT:
+        node = cfg
+        for part in dotted.split("."):
+            node = node[part]
+        got = tuple(node) if isinstance(node, (list, tuple)) else node
+        if got != want:
+            raise NotImplementedError(
+                f"{dotted} = {got!r}: this build implements only the "
+                f"reference architecture ({dotted} = {want!r}); the key "
+                "is accepted for d2-config compatibility but cannot be "
+                "changed"
+            )
+
+
 def _common_kwargs(cfg):
+    _validate_fixed(cfg)
     # only the aligned=True kernel exists here (the reference never runs
     # another pooler: d2 default + every config = ROIAlignV2); fail loudly
     # rather than silently substituting V2 semantics

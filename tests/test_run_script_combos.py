@@ -295,6 +295,38 @@ def test_pooler_keys_plumb_into_heads():
         build_model(cfg2)
 
 
+def test_fixed_architecture_keys_fail_loudly():
+    """d2-compat keys this build fixes at the reference default must raise
+    on a non-default override instead of silently building the wrong
+    model; at their defaults every config still builds."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.build import (
+        _FIXED_AT_DEFAULT,
+    )
+
+    overrides = {
+        "MODEL.MASK_ON": "True",
+        "MODEL.RESNETS.NUM_GROUPS": "32",
+        "MODEL.RESNETS.NORM": "GN",
+        "INPUT.MIN_SIZE_TRAIN_SAMPLING": "range",
+        "TEST.AUG.ENABLED": "True",
+    }
+    for key, val in overrides.items():
+        cfg = get_cfg()
+        cfg.merge_from_list(TINY + [key, val])
+        with pytest.raises(NotImplementedError, match=key.split(".")[-1]):
+            build_model(cfg)
+
+    # the table itself must mirror the live schema defaults, or defaults
+    # would fail their own validation
+    cfg = get_cfg()
+    for dotted, want in _FIXED_AT_DEFAULT:
+        node = cfg
+        for part in dotted.split("."):
+            node = node[part]
+        got = tuple(node) if isinstance(node, (list, tuple)) else node
+        assert got == want, dotted
+
+
 def test_convfc_keys_plumb_into_standard_roi_heads():
     """ROI_BOX_HEAD.{NUM_CONV, CONV_DIM, NUM_FC, FC_DIM} reach the
     StandardROIHeads ConvFC towers; an empty tower and a requested norm
