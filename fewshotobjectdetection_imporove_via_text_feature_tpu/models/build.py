@@ -121,6 +121,12 @@ def _common_kwargs(cfg):
         rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
         rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
         rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        rpn_iou_thresholds=tuple(cfg.MODEL.RPN.IOU_THRESHOLDS),
+        rpn_smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
+        rpn_bbox_reg_weights=tuple(cfg.MODEL.RPN.BBOX_REG_WEIGHTS),
+        rpn_loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
+        rpn_bbox_reg_loss_weight=cfg.MODEL.RPN.BBOX_REG_LOSS_WEIGHT,
+        rpn_min_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
         roi_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         roi_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
         roi_iou_threshold=cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS[0],

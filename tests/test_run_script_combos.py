@@ -295,6 +295,38 @@ def test_pooler_keys_plumb_into_heads():
         build_model(cfg2)
 
 
+def test_rpn_knobs_plumb_into_model():
+    """MODEL.RPN loss/matching knobs reach the model (were silently
+    ignored at their d2 defaults): LOSS_WEIGHT must scale both RPN losses
+    by exactly its value on an otherwise-identical step."""
+    def losses_with(extra):
+        cfg = get_cfg()
+        cfg.merge_from_list(TINY + extra)
+        m = build_model(cfg)
+        images, gt = _tiny_batch()
+        rngs = {
+            "params": jax.random.PRNGKey(0),
+            "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+        }
+        params = jax.jit(functools.partial(m.init, train=True))(
+            rngs, images, gt
+        )
+        return m, jax.jit(functools.partial(m.apply, train=True))(
+            params, images, gt,
+            rngs={"sampling": jax.random.PRNGKey(3),
+                  "dropout": jax.random.PRNGKey(4)},
+        )
+
+    m1, base = losses_with([])
+    assert m1.rpn_iou_thresholds == (0.3, 0.7)
+    m2, scaled = losses_with(["MODEL.RPN.LOSS_WEIGHT", "2.0"])
+    for k in ("loss_rpn_cls", "loss_rpn_loc"):
+        np.testing.assert_allclose(
+            float(scaled[k]), 2.0 * float(base[k]), rtol=1e-6, err_msg=k
+        )
+
+
 def test_fixed_architecture_keys_fail_loudly():
     """d2-compat keys this build fixes at the reference default must raise
     on a non-default override instead of silently building the wrong
