@@ -85,6 +85,21 @@ def setup(args):
             "%(asctime)s %(name)s %(levelname)s: %(message)s"
         ))
         logging.getLogger().addHandler(fh)
+    if not cfg.MUTE_HEADER:
+        # ref default_setup (engine/defaults.py:100-112): environment +
+        # full running-config dump, gated by MUTE_HEADER (default True;
+        # run scripts pass `MUTE_HEADER True` explicitly)
+        import platform
+
+        import jax
+
+        log = logging.getLogger("fsodtf_tpu")
+        log.info(
+            "environment: python %s, jax %s, devices %s",
+            platform.python_version(), jax.__version__,
+            [str(d) for d in jax.devices()],
+        )
+        log.info("Running with full config:\n%s", cfg)
     return cfg
 
 
