@@ -196,6 +196,13 @@ _C.INPUT.MIN_SIZE_TEST = 800
 _C.INPUT.MAX_SIZE_TEST = 1333
 _C.INPUT.RANDOM_FLIP = "horizontal"
 _C.INPUT.FORMAT = "BGR"
+# d2 random-crop aug (reference dataset_mapper.py:82-83). Parses for
+# d2-config compatibility; ENABLED=True fails loudly at build (no
+# reference config crops — models/build.py _FIXED_AT_DEFAULT)
+_C.INPUT.CROP = CfgNode()
+_C.INPUT.CROP.ENABLED = False
+_C.INPUT.CROP.TYPE = "relative_range"
+_C.INPUT.CROP.SIZE = (0.9, 0.9)
 
 # ------------------------------------------------------------------ TEST --
 _C.TEST = CfgNode()
