@@ -49,10 +49,11 @@ class CfgNode(dict):
         # older-VERSION configs go through the compat rename table before
         # the strict merge, like the reference's fvcore loader
         # (config/compat.py upgrade; ref defrcn/config/compat.py)
-        from .compat import LATEST_VERSION, upgrade_config
+        from .compat import upgrade_config
 
-        if loaded.get("VERSION", LATEST_VERSION) < LATEST_VERSION:
-            loaded = upgrade_config(loaded)
+        # always: renames apply only below LATEST_VERSION, but removed-key
+        # pruning must also cover current-VERSION dumps from older builds
+        loaded = upgrade_config(loaded)
         _merge(loaded, self, allow_new=False)
 
     def merge_from_list(self, opts: list) -> None:

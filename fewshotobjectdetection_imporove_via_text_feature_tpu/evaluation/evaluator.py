@@ -21,9 +21,11 @@ logger = logging.getLogger(__name__)
 # class-embedding attributes and are unhashable (a WeakKeyDictionary here
 # crashed every text/semantic model evaluation). The entry's jitted
 # bound method pins the model alive, so an id can never be recycled into
-# a stale hit; entries live for the process (one per model built — the
-# CLI/EvalHook build a handful).
+# a stale hit. Bounded FIFO: a long multi-checkpoint sweep must not pin
+# every model + traced program it ever evaluated — evicting drops the
+# pin, after which a recycled id simply misses and re-traces.
 _jit_cache: dict = {}
+_JIT_CACHE_CAP = 8
 
 
 def _model_cache(model):
@@ -34,6 +36,8 @@ def _model_cache(model):
             "apply": jax.jit(partial(model.apply, train=False)),
             "raw": {},
         }
+        while len(_jit_cache) >= _JIT_CACHE_CAP:
+            _jit_cache.pop(next(iter(_jit_cache)))
         _jit_cache[key] = entry
     return entry
 

@@ -41,6 +41,9 @@ _FIXED_AT_DEFAULT = (
     ("MODEL.PROPOSAL_GENERATOR.NAME", "RPN"),
     ("MODEL.RPN.IN_FEATURES", ("res4",)),
     ("MODEL.RPN.IOU_LABELS", (0, -1, 1)),
+    ("MODEL.RPN.HEAD_NAME", "StandardRPNHead"),
+    # -1 disables d2's legacy boundary-straddle anchor discard
+    ("MODEL.RPN.BOUNDARY_THRESH", -1),
     ("MODEL.ROI_HEADS.IN_FEATURES", ("res4",)),
     ("MODEL.ROI_HEADS.IOU_LABELS", (0, 1)),
     ("MODEL.ROI_BOX_HEAD.NAME", "FastRCNNConvFCHead"),

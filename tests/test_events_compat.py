@@ -89,3 +89,25 @@ def test_merge_from_file_upgrades_v1_configs(tmp_path):
     assert cfg.MODEL.RPN.HEAD_NAME == "StandardRPNHead"
     assert cfg.MODEL.RPN.BOUNDARY_THRESH == 0
     assert cfg.VERSION == 2
+
+
+def test_merge_from_file_prunes_removed_keys(tmp_path):
+    """OUTPUT_DIR/config.yaml dumps from earlier builds carry schema keys
+    that have since been removed (TPU.MESH_DATA_AXIS) at the CURRENT
+    version; merge_from_file must prune them instead of raising on the
+    strict merge — old runs stay re-evaluable."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.config import (
+        get_cfg,
+    )
+
+    p = tmp_path / "old_dump.yaml"
+    p.write_text(
+        "VERSION: 2\n"
+        "TPU:\n"
+        "  MESH_DATA_AXIS: data\n"
+        "  ROI_CHUNK: 128\n"
+    )
+    cfg = get_cfg()
+    cfg.merge_from_file(str(p))
+    assert cfg.TPU.ROI_CHUNK == 128  # siblings of the pruned key survive
+    assert "MESH_DATA_AXIS" not in cfg.TPU

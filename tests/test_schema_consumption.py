@@ -49,6 +49,25 @@ def _schema_keys():
     return re.findall(r"^_C\.([A-Z0-9_.]+)\s*=", src, re.M)
 
 
+def _strip_comments_and_strings(src: str) -> str:
+    """A dotted key inside a comment, docstring, or string literal is NOT
+    consumption (compat.py's rename-table strings hid two unread RPN keys
+    from the first version of this audit)."""
+    import io
+    import tokenize
+
+    out = []
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type in (tokenize.COMMENT, tokenize.STRING):
+                continue
+            out.append(tok.string)
+    except tokenize.TokenError:  # pragma: no cover - malformed source
+        return src
+    # re-fuse attribute chains the tokenizer split ("cfg . KEY" -> "cfg.KEY")
+    return re.sub(r"\s*\.\s*", ".", " ".join(out))
+
+
 def _consumer_corpus():
     chunks = []
     roots = [os.path.join(REPO, PKG), os.path.join(REPO, "tools")]
@@ -59,16 +78,27 @@ def _consumer_corpus():
                     chunks.append(open(os.path.join(dirpath, f)).read())
     for f in ("main.py", "bench.py", "__graft_entry__.py"):
         chunks.append(open(os.path.join(REPO, f)).read())
-    return "\n".join(chunks)
+    return "\n".join(_strip_comments_and_strings(c) for c in chunks)
 
 
 def test_every_schema_key_is_consumed_or_allowlisted():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.build import (
+        _FIXED_AT_DEFAULT,
+    )
+
     corpus = _consumer_corpus()
     keys = _schema_keys()
     assert len(keys) > 150  # the scan itself works
+    # validated-fixed-at-default IS consumption (a non-default override
+    # raises); the table holds dotted-string keys the stripped corpus
+    # cannot see
+    validated = {k for k, _ in _FIXED_AT_DEFAULT}
+    # keys read through string subscripts the stripped corpus can't see
+    validated.add("VERSION")  # config/compat.py version gating
     unused = [
         k for k in keys
-        if not re.search(rf"\b{re.escape(k)}\b", corpus)
+        if k not in validated
+        and not re.search(rf"\b{re.escape(k)}\b", corpus)
     ]
     # intermediate CfgNode() nodes (e.g. MODEL.PROPOSAL_GENERATOR) are
     # consumed through their children
