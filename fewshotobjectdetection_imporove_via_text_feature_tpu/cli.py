@@ -233,6 +233,29 @@ def do_test(cfg, params=None, model=None):
     return results
 
 
+def _setup_compilation_cache():
+    """Persistent jit-compilation cache across CLI processes.
+
+    The few-shot workflow (run_voc.sh: shots x seeds x stages) launches
+    main.py dozens of times with a handful of distinct programs; each
+    fresh process would otherwise pay the full 20-40 s remote compile per
+    program. JAX_COMPILATION_CACHE_DIR overrides the location; an empty
+    value disables."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "fsodtf", "jax_cache"
+        ),
+    )
+    if not cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # detector programs all take >>1 s to compile; skip tiny host ops
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     # optional platform override (e.g. FSODTF_PLATFORM=cpu for smoke runs —
     # env JAX_PLATFORMS alone is pre-empted by the container sitecustomize)
@@ -241,6 +264,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", platform)
+    _setup_compilation_cache()
 
     args = default_argument_parser().parse_args()
 

@@ -180,6 +180,25 @@ def test_bench_text_recipe_matches_cited_script():
     assert float(m.kl_temp) == 5.0
 
 
+def test_setup_compilation_cache(tmp_path, monkeypatch):
+    """The CLI persists jit compiles across processes (the few-shot
+    workflow re-launches main.py per shot/seed/stage); env overrides the
+    location and an empty value disables."""
+    import jax
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu import cli
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jc"))
+    cli._setup_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
+    assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "keep"))
+    cli._setup_compilation_cache()  # disabled: must not touch the config
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "keep")
+
+
 def test_resolve_eval_iter_checkpoint(tmp_path):
     """--eval-iter N accepts both the exact name and the 0-based periodic
     name N-1, preferring the exact one; missing -> FileNotFoundError."""
