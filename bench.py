@@ -23,6 +23,16 @@ import time
 import jax
 import numpy as np
 
+from fewshotobjectdetection_imporove_via_text_feature_tpu.cli import (
+    _setup_compilation_cache,
+)
+
+# persistent compile cache: only affects COMPILATION time (timed regions
+# measure execution with device readbacks — NOTES.md protocol); genuinely
+# new programs still reach the remote compiler, so the compiler-outage
+# watchdog's novel-shape probe keeps discriminating
+_setup_compilation_cache()
+
 # images/sec for the same R-101 C4 inference program, batch 1 at 800x1344,
 # on this container's host CPU: measured 515.5 s/img (python bench.py
 # --cpu-baseline under jax_platforms=cpu, 2026-08-16). Re-measure if the

@@ -19,6 +19,15 @@ if os.environ.get("FSODTF_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["FSODTF_PLATFORM"])
 
+# persistent jit-compilation cache (shared with the CLI; see
+# cli._setup_compilation_cache): repeat validation runs skip the
+# 20-40 s remote compiles of unchanged programs
+from fewshotobjectdetection_imporove_via_text_feature_tpu.cli import (
+    _setup_compilation_cache,
+)
+
+_setup_compilation_cache()
+
 import numpy as np
 from PIL import Image
 
