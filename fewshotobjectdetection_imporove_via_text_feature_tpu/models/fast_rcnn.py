@@ -166,8 +166,11 @@ def fast_rcnn_inference(
     top_boxes = boxes.reshape(-1, 4)[top_idx]
     top_classes = (top_idx % num_classes).astype(jnp.int32)
 
+    # top_scores are descending out of top_k (invalid = -1 fill sorts
+    # last), so NMS can skip its internal stable re-sort
     keep, order = batched_nms_fixed(
-        top_boxes, top_scores, top_classes, top_valid, nms_thresh
+        top_boxes, top_scores, top_classes, top_valid, nms_thresh,
+        assume_sorted=True,
     )
     keep_sorted = keep[order]
     d = topk_per_image

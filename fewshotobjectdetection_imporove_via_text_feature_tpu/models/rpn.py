@@ -253,7 +253,11 @@ def select_top_proposals(
         )
         from ..ops.nms import nms_auto
 
-        keep, order = nms_auto(boxes, scores, valid, nms_thresh)
+        # scores come straight from top_k (descending): skip NMS's
+        # internal stable re-sort + scatter (assume_sorted contract)
+        keep, order = nms_auto(
+            boxes, scores, valid, nms_thresh, assume_sorted=True
+        )
         # Enumerate kept boxes in score order, take first post_nms_topk.
         keep_sorted = keep[order]
         # positions of kept entries in sorted order

@@ -62,12 +62,13 @@ def _self_suppress(iou_tile: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
     return keep
 
 
-@partial(jax.jit, static_argnames=("iou_threshold",))
+@partial(jax.jit, static_argnames=("iou_threshold", "assume_sorted"))
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
+    assume_sorted: bool = False,
 ):
     """Greedy NMS over a fixed-size padded box set.
 
@@ -78,11 +79,16 @@ def nms_fixed(
         valid: (N,) bool — padding mask.
         iou_threshold: suppression threshold (strictly-greater comparison,
             matching torchvision: IoU > threshold suppresses).
+        assume_sorted: caller guarantees ``scores`` of VALID entries are
+            already descending in input order (e.g. straight out of
+            ``top_k``) — skips the internal stable sort + scatter. The
+            keep set is identical (invalid entries never suppress, so
+            their positions don't matter); ``order`` is then the iota.
 
     Returns:
         keep: (N,) bool in the ORIGINAL box order.
-        order: (N,) int32 — score-descending order (stable; invalid last),
-            so ``order[keep[order]]`` enumerates kept boxes by score.
+        order: (N,) int32 — score-descending order (stable) so
+            ``order[keep[order]]`` enumerates kept boxes by score.
     """
     n = boxes.shape[0]
     pad = (-n) % TILE
@@ -93,11 +99,16 @@ def nms_fixed(
     np_ = boxes.shape[0]
     num_tiles = np_ // TILE
 
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    sort_scores = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-sort_scores, stable=True).astype(jnp.int32)
-    sboxes = boxes[order]
-    svalid = valid[order]
+    if assume_sorted:
+        order = jnp.arange(np_, dtype=jnp.int32)
+        sboxes = boxes
+        svalid = valid
+    else:
+        neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+        sort_scores = jnp.where(valid, scores, neg_inf)
+        order = jnp.argsort(-sort_scores, stable=True).astype(jnp.int32)
+        sboxes = boxes[order]
+        svalid = valid[order]
 
     def tile_step(i, keep):
         sl = i * TILE
@@ -123,11 +134,14 @@ def nms_fixed(
         0, num_tiles, tile_step, jnp.zeros((np_,), jnp.bool_)
     )
 
-    keep = jnp.zeros((np_,), jnp.bool_).at[order].set(keep_sorted)
+    if assume_sorted:
+        keep = keep_sorted
+    else:
+        keep = jnp.zeros((np_,), jnp.bool_).at[order].set(keep_sorted)
     return keep[:n], order[:n]
 
 
-def nms_auto(boxes, scores, valid, iou_threshold):
+def nms_auto(boxes, scores, valid, iou_threshold, assume_sorted=False):
     """Backend-aware NMS: the Pallas VMEM kernel on TPU (no per-tile XLA
     loop overhead), the XLA tiled version elsewhere (CPU tests, platforms
     without Mosaic). Override with FSODTF_NMS=xla|pallas."""
@@ -141,8 +155,12 @@ def nms_auto(boxes, scores, valid, iou_threshold):
     if use_pallas:
         from .nms_pallas import nms_fixed_pallas
 
-        return nms_fixed_pallas(boxes, scores, valid, iou_threshold)
-    return nms_fixed(boxes, scores, valid, iou_threshold)
+        return nms_fixed_pallas(
+            boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted
+        )
+    return nms_fixed(
+        boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted
+    )
 
 
 def batched_nms_fixed(
@@ -151,15 +169,19 @@ def batched_nms_fixed(
     idxs: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
+    assume_sorted: bool = False,
 ):
     """Class-aware NMS via the coordinate-offset trick (torchvision
     ``batched_nms``): boxes of different ``idxs`` never overlap.
 
-    Boxes must be non-degenerate or masked invalid.
+    Boxes must be non-degenerate or masked invalid. The class offsets
+    leave scores untouched, so ``assume_sorted`` passes straight through.
     """
     if boxes.shape[0] == 0:
         return valid, jnp.zeros((0,), jnp.int32)
     max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
-    return nms_auto(shifted, scores, valid, iou_threshold)
+    return nms_auto(
+        shifted, scores, valid, iou_threshold, assume_sorted=assume_sorted
+    )

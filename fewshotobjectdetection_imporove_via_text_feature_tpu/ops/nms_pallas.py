@@ -166,8 +166,19 @@ def nms_pallas_sorted(
     return out[0, :n0] > 0.5
 
 
-def nms_fixed_pallas(boxes, scores, valid, iou_threshold, interpret=False):
-    """Drop-in for ops.nms.nms_fixed backed by the Pallas kernel."""
+def nms_fixed_pallas(boxes, scores, valid, iou_threshold, interpret=False,
+                     assume_sorted=False):
+    """Drop-in for ops.nms.nms_fixed backed by the Pallas kernel.
+
+    ``assume_sorted``: see ops.nms.nms_fixed — skips the stable sort +
+    scatter when the caller's scores are already descending (top_k
+    output); the keep set is identical."""
+    n = boxes.shape[0]
+    if assume_sorted:
+        keep = nms_pallas_sorted(
+            boxes, valid, iou_threshold, interpret=interpret
+        )
+        return keep, jnp.arange(n, dtype=jnp.int32)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     order = jnp.argsort(
         -jnp.where(valid, scores, neg_inf), stable=True
@@ -175,6 +186,5 @@ def nms_fixed_pallas(boxes, scores, valid, iou_threshold, interpret=False):
     keep_sorted = nms_pallas_sorted(
         boxes[order], valid[order], iou_threshold, interpret=interpret
     )
-    n = boxes.shape[0]
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep, order

@@ -34,6 +34,32 @@ def test_nms_matches_reference():
         np.testing.assert_array_equal(np.asarray(keep), ref)
 
 
+def test_nms_assume_sorted_identical():
+    """assume_sorted (scores already descending, e.g. top_k output) must
+    produce the identical keep set on both backends, including tied
+    scores and invalid entries interspersed mid-sequence (the RPN
+    min_size filter invalidates boxes at arbitrary sorted positions)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.ops.nms_pallas import (
+        nms_fixed_pallas,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 300
+    boxes = rand_boxes(rng, n, size=200)
+    scores = np.sort(rng.uniform(0, 1, n).astype(np.float32))[::-1].copy()
+    scores[50:60] = scores[50]  # a tie run
+    valid = rng.rand(n) > 0.1   # interspersed invalid entries
+    args = (jnp.array(boxes), jnp.array(scores), jnp.array(valid), 0.5)
+
+    ref_keep, _ = nms_fixed(*args)
+    fast_keep, fast_order = nms_fixed(*args, assume_sorted=True)
+    np.testing.assert_array_equal(np.asarray(fast_keep), np.asarray(ref_keep))
+    np.testing.assert_array_equal(np.asarray(fast_order), np.arange(n))
+
+    pk, _ = nms_fixed_pallas(*args, interpret=True, assume_sorted=True)
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(ref_keep))
+
+
 def test_nms_chain_revival():
     # A suppresses B, B suppresses C, A does not suppress C -> C survives.
     boxes = np.array(
