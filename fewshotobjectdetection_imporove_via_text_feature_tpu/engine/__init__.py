@@ -1,5 +1,6 @@
 from .trainer import Trainer, make_train_step, default_setup
 from .predictor import DefaultPredictor
+from .export import ServingPredictor, export_inference
 from .hooks import EvalHook
 
 # reference-name alias (defrcn/engine/defaults.py DefaultTrainer)
@@ -11,5 +12,7 @@ __all__ = [
     "make_train_step",
     "default_setup",
     "DefaultPredictor",
+    "ServingPredictor",
+    "export_inference",
     "EvalHook",
 ]

@@ -1,0 +1,210 @@
+"""AOT serving export: serialized inference programs (jax.export).
+
+The reference's serving surface is ``DefaultPredictor`` (defrcn/engine/
+defaults.py:131-192): a Python object that needs the full framework, the
+config, and a checkpoint at process start. A TPU-native deployment wants
+the opposite — a self-contained artifact that a serving host can load and
+call without building the model (or even having the model code): this
+module exports the jitted inference program per image bucket as portable
+StableHLO via ``jax.export`` and bundles it with the weights.
+
+Artifact layout (single zip):
+    meta.json            input contract (buckets, format, resize params)
+    params.pkl           pickled numpy param tree (shared by all programs)
+    programs/{H}x{W}.shlo  serialized Exported per padded bucket shape
+
+``ServingPredictor`` mirrors ``DefaultPredictor.__call__`` exactly (shared
+``preprocess_single_image``) but runs the deserialized programs, so the two
+serve paths are interchangeable.
+
+Portability: a multi-platform export (``platforms=("tpu", "cpu")``) must
+not bake backend-specific custom calls, so the XLA-lax NMS path is forced
+during tracing (the Pallas kernel is a Mosaic custom call, TPU-only); a
+single-platform TPU export keeps whatever the backend default is.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import pickle
+import zipfile
+from contextlib import contextmanager
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..structures import ImageBatch
+
+_PROGRAM_DIR = "programs"
+
+
+@contextmanager
+def _forced_nms(choice: Optional[str]):
+    if choice is None:
+        yield
+        return
+    prev = os.environ.get("FSODTF_NMS")
+    os.environ["FSODTF_NMS"] = choice
+    try:
+        yield
+    finally:
+        if prev is None:
+            os.environ.pop("FSODTF_NMS", None)
+        else:
+            os.environ["FSODTF_NMS"] = prev
+
+
+def _bucket_shapes(cfg, buckets) -> Sequence[Tuple[int, int]]:
+    """Distinct padded shapes a predictor can emit: every configured bucket
+    in both orientations (data/mapper.py pick_bucket considers (a, b) and
+    (b, a))."""
+    shapes = []
+    for bh, bw in buckets:
+        for shape in ((int(bh), int(bw)), (int(bw), int(bh))):
+            if shape not in shapes:
+                shapes.append(shape)
+    return shapes
+
+
+def export_inference(
+    cfg,
+    params,
+    batch: int = 1,
+    buckets: Optional[Sequence[Tuple[int, int]]] = None,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Export the fixed-shape inference program for every bucket shape.
+
+    Returns (meta dict, {(bh, bw): serialized bytes}). ``params`` are an
+    ARGUMENT of the exported call (not baked constants) so the weights are
+    stored once, shared across the per-bucket programs.
+    """
+    from jax import export as jax_export
+
+    from ..models import build_model
+
+    model = build_model(cfg)
+    shapes = _bucket_shapes(cfg, buckets or cfg.TPU.IMAGE_BUCKETS)
+    platforms = tuple(platforms) if platforms else None
+    # multi-platform programs must avoid backend-specific custom calls
+    nms = "xla" if platforms and len(set(platforms)) > 1 else None
+
+    # plain-array calling convention (params dict, image, hw, orig_hw):
+    # no custom pytree types inside the serialized programs, so a consumer
+    # can deserialize without this package's struct registrations
+    def apply_fn(params_tree, image, hw, orig_hw):
+        images = ImageBatch(image=image, hw=hw, orig_hw=orig_hw)
+        det = model.apply({"params": params_tree}, images, train=False)
+        return det.boxes, det.scores, det.classes, det.valid
+
+    from ..models.backbone import space_to_depth
+
+    programs = {}
+    with _forced_nms(nms):
+        for bh, bw in shapes:
+            img = np.zeros((batch, bh, bw, 3), np.uint8)
+            if bh % 2 == 0 and bw % 2 == 0:
+                # the loader/predictor transport layout (host s2d)
+                img = np.stack([space_to_depth(im) for im in img])
+            hw = np.full((batch, 2), (bh, bw), np.int32)
+            exp = jax_export.export(
+                jax.jit(apply_fn),
+                **({"platforms": platforms} if platforms else {}),
+            )(params, img, hw, hw)
+            programs[(bh, bw)] = exp.serialize()
+
+    meta = {
+        "batch": batch,
+        "buckets": [list(s) for s in shapes],
+        "input_format": cfg.INPUT.FORMAT,
+        "min_size_test": int(
+            cfg.INPUT.MIN_SIZE_TEST[0]
+            if isinstance(cfg.INPUT.MIN_SIZE_TEST, (list, tuple))
+            else cfg.INPUT.MIN_SIZE_TEST
+        ),
+        "max_size_test": int(cfg.INPUT.MAX_SIZE_TEST),
+        "num_classes": int(cfg.MODEL.ROI_HEADS.NUM_CLASSES),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "jax_version": jax.__version__,
+    }
+    return meta, programs
+
+
+def save_serving_artifact(path: str, meta: dict, programs: dict, params):
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        buf = io.BytesIO()
+        pickle.dump(params_np, buf)
+        z.writestr("params.pkl", buf.getvalue())
+        for (bh, bw), ser in programs.items():
+            z.writestr(f"{_PROGRAM_DIR}/{bh}x{bw}.shlo", ser)
+
+
+def load_serving_artifact(path: str):
+    """-> (meta, params, {(bh, bw): jax.export.Exported})."""
+    from jax import export as jax_export
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json"))
+        params = pickle.loads(z.read("params.pkl"))
+        programs = {}
+        for name in z.namelist():
+            if name.startswith(_PROGRAM_DIR + "/") and name.endswith(".shlo"):
+                bh, bw = name[len(_PROGRAM_DIR) + 1 : -5].split("x")
+                programs[(int(bh), int(bw))] = jax_export.deserialize(
+                    z.read(name)
+                )
+    return meta, params, programs
+
+
+class ServingPredictor:
+    """DefaultPredictor-compatible single-image API over a serving artifact
+    — no model build, no config file, no checkpoint load."""
+
+    def __init__(self, artifact_path: str):
+        self.meta, self._params, self._programs = load_serving_artifact(
+            artifact_path
+        )
+        if self.meta["batch"] != 1:
+            raise ValueError(
+                f"single-image ServingPredictor needs a batch-1 artifact; "
+                f"this one was exported at batch {self.meta['batch']}"
+            )
+
+        # minimal cfg view for the shared preprocessing helper
+        class _Input:
+            MIN_SIZE_TEST = self.meta["min_size_test"]
+            MAX_SIZE_TEST = self.meta["max_size_test"]
+            FORMAT = self.meta["input_format"]
+
+        class _TPU:
+            IMAGE_BUCKETS = [tuple(b) for b in self.meta["buckets"]]
+
+        class _Cfg:
+            INPUT = _Input
+            TPU = _TPU
+
+        self._cfg = _Cfg
+
+    def __call__(self, original_image: np.ndarray):
+        from .predictor import preprocess_single_image
+
+        batch = preprocess_single_image(self._cfg, original_image)
+        # padded shape keys the program; s2d'd inputs are (H/2, W/2, 12)
+        h, w = batch.image.shape[1:3]
+        if batch.image.shape[-1] == 12:
+            h, w = 2 * h, 2 * w
+        exp = self._programs[(h, w)]
+        boxes, scores, classes, valid = exp.call(
+            self._params, batch.image, batch.hw, batch.orig_hw
+        )
+        valid = np.asarray(valid[0])
+        return {
+            "boxes": np.asarray(boxes[0])[valid],
+            "scores": np.asarray(scores[0])[valid],
+            "classes": np.asarray(classes[0])[valid],
+        }

@@ -14,6 +14,43 @@ from ..models import build_model
 from ..structures import GTInstances, ImageBatch
 
 
+def preprocess_single_image(cfg, original_image: np.ndarray, buckets=None):
+    """BGR HxWx3 uint8 -> batch-1 ``ImageBatch`` in the loader's transport
+    layout (resize-shortest-edge, bucket pad, host space-to-depth when the
+    bucket dims are even). Shared by DefaultPredictor and the exported
+    serving artifacts (engine/export.py), so both serve paths preprocess
+    identically (ref defaults.py:169-186)."""
+    h0, w0 = original_image.shape[:2]
+    h, w = resize_shortest_edge_size(
+        h0, w0, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
+    )
+    from PIL import Image
+
+    # input arrives BGR (cv2 convention, ref defaults.py:174); resize in
+    # RGB for PIL, then hand the model cfg.INPUT.FORMAT — the reference
+    # flips to RGB when the model was trained that way (defaults.py:184)
+    img = Image.fromarray(original_image[:, :, ::-1].astype(np.uint8))
+    img = img.resize((w, h), Image.BILINEAR)
+    arr = np.asarray(img, np.uint8)
+    if cfg.INPUT.FORMAT == "BGR":
+        arr = arr[:, :, ::-1]
+    bh, bw = pick_bucket(h, w, buckets or cfg.TPU.IMAGE_BUCKETS)
+    padded = np.zeros((bh, bw, 3), np.uint8)
+    padded[:h, :w] = arr
+    if bh % 2 == 0 and bw % 2 == 0:
+        # ship the stem's space-to-depth layout like the data loader
+        # (uint8 + pre-shuffled: no on-device relayout)
+        from ..models.backbone import space_to_depth
+
+        padded = space_to_depth(padded)
+
+    return ImageBatch(
+        image=padded[None],
+        hw=np.asarray([[h, w]], np.int32),
+        orig_hw=np.asarray([[h0, w0]], np.int32),
+    )
+
+
 class DefaultPredictor:
     """cfg -> model + weights; __call__(image BGR HxWx3 uint8) -> dict of
     numpy detections in original-image coordinates."""
@@ -42,36 +79,7 @@ class DefaultPredictor:
         self._apply = jax.jit(partial(self.model.apply, train=False))
 
     def __call__(self, original_image: np.ndarray):
-        cfg = self.cfg
-        h0, w0 = original_image.shape[:2]
-        h, w = resize_shortest_edge_size(
-            h0, w0, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
-        )
-        from PIL import Image
-
-        # input arrives BGR (cv2 convention, ref defaults.py:174); resize in
-        # RGB for PIL, then hand the model cfg.INPUT.FORMAT — the reference
-        # flips to RGB when the model was trained that way (defaults.py:184)
-        img = Image.fromarray(original_image[:, :, ::-1].astype(np.uint8))
-        img = img.resize((w, h), Image.BILINEAR)
-        arr = np.asarray(img, np.uint8)
-        if cfg.INPUT.FORMAT == "BGR":
-            arr = arr[:, :, ::-1]
-        bh, bw = pick_bucket(h, w, cfg.TPU.IMAGE_BUCKETS)
-        padded = np.zeros((bh, bw, 3), np.uint8)
-        padded[:h, :w] = arr
-        if bh % 2 == 0 and bw % 2 == 0:
-            # ship the stem's space-to-depth layout like the data loader
-            # (uint8 + pre-shuffled: no on-device relayout)
-            from ..models.backbone import space_to_depth
-
-            padded = space_to_depth(padded)
-
-        batch = ImageBatch(
-            image=padded[None],
-            hw=np.asarray([[h, w]], np.int32),
-            orig_hw=np.asarray([[h0, w0]], np.int32),
-        )
+        batch = preprocess_single_image(self.cfg, original_image)
         det = self._apply({"params": self.params}, batch)
         valid = np.asarray(det.valid[0])
         return {

@@ -1,0 +1,79 @@
+"""AOT serving export (engine/export.py): the serialized artifact's
+detections must match DefaultPredictor exactly (shared preprocessing +
+same program), across bucket orientations, after a save/load round trip."""
+
+import numpy as np
+import pytest
+
+from fewshotobjectdetection_imporove_via_text_feature_tpu.config import get_cfg
+from fewshotobjectdetection_imporove_via_text_feature_tpu.engine.export import (
+    ServingPredictor,
+    export_inference,
+    load_serving_artifact,
+    save_serving_artifact,
+)
+from fewshotobjectdetection_imporove_via_text_feature_tpu.engine.predictor import (
+    DefaultPredictor,
+)
+
+TINY = [
+    "MODEL.RESNETS.DEPTH", "14",
+    "MODEL.RESNETS.STEM_OUT_CHANNELS", "8",
+    "MODEL.RESNETS.RES2_OUT_CHANNELS", "16",
+    "MODEL.RESNETS.WIDTH_PER_GROUP", "4",
+    "MODEL.RPN.PRE_NMS_TOPK_TEST", "128",
+    "MODEL.RPN.POST_NMS_TOPK_TEST", "32",
+    "MODEL.ROI_HEADS.NUM_CLASSES", "5",
+    "INPUT.MIN_SIZE_TEST", "96",
+    "INPUT.MAX_SIZE_TEST", "192",
+    "TPU.IMAGE_BUCKETS", "[(128, 192)]",
+    "TPU.COMPUTE_DTYPE", "float32",
+]
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cfg = get_cfg()
+    cfg.merge_from_list(list(TINY))
+    pred = DefaultPredictor(cfg)
+    meta, programs = export_inference(cfg, pred.params, batch=1)
+    path = str(tmp_path_factory.mktemp("srv") / "tiny.fsodtf")
+    save_serving_artifact(path, meta, programs, pred.params)
+    return cfg, pred, path
+
+
+def test_artifact_contents(artifact):
+    _, _, path = artifact
+    meta, params, programs = load_serving_artifact(path)
+    # both orientations of the configured bucket
+    assert set(programs) == {(128, 192), (192, 128)}
+    assert meta["input_format"] == "BGR"
+    assert meta["min_size_test"] == 96 and meta["max_size_test"] == 192
+    assert any(k.startswith("backbone") for k in params)
+
+
+@pytest.mark.parametrize("hw0", [(100, 150), (150, 100)])
+def test_serving_matches_default_predictor(artifact, hw0):
+    cfg, pred, path = artifact
+    serving = ServingPredictor(path)
+    rng = np.random.RandomState(sum(hw0))
+    img = rng.randint(0, 256, (*hw0, 3), dtype=np.uint8)
+    a = pred(img)
+    b = serving(img)
+    assert a["boxes"].shape == b["boxes"].shape
+    np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(a["scores"], b["scores"], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(a["classes"], b["classes"])
+
+
+def test_batch_mismatch_rejected(artifact):
+    cfg, pred, _ = artifact
+    meta, programs = export_inference(cfg, pred.params, batch=2)
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "b2.fsodtf")
+        save_serving_artifact(p, meta, programs, pred.params)
+        with pytest.raises(ValueError, match="batch-1"):
+            ServingPredictor(p)
