@@ -198,6 +198,15 @@ class ServingPredictor:
         h, w = batch.image.shape[1:3]
         if batch.image.shape[-1] == 12:
             h, w = 2 * h, 2 * w
+        if (h, w) not in self._programs:
+            # pick_bucket's round-up-to-64 fallback produced a shape the
+            # artifact was not exported for (image larger than every bucket)
+            raise ValueError(
+                f"image of shape {original_image.shape[:2]} needs padded "
+                f"bucket {(h, w)}, but the artifact only contains "
+                f"{sorted(self._programs)} — re-export with a covering "
+                "TPU.IMAGE_BUCKETS"
+            )
         exp = self._programs[(h, w)]
         boxes, scores, classes, valid = exp.call(
             self._params, batch.image, batch.hw, batch.orig_hw

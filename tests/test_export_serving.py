@@ -66,6 +66,22 @@ def test_serving_matches_default_predictor(artifact, hw0):
     np.testing.assert_array_equal(a["classes"], b["classes"])
 
 
+def test_uncovered_bucket_rejected(artifact):
+    _, _, path = artifact
+    serving = ServingPredictor(path)
+    # forces the round-up-to-64 pick_bucket fallback: min_size_test=96 on a
+    # 1:4 strip -> resized (96, 192) is fine, but a huge square resizes to
+    # (96, 96)... use a shape whose resize escapes every bucket instead:
+    # max_size_test=192 caps the long side, so only the fallback path via a
+    # tiny bucket list can trip — simulate by shrinking the program table.
+    serving._programs = {
+        k: v for k, v in serving._programs.items() if k == (192, 128)
+    }
+    img = np.zeros((100, 150, 3), np.uint8)  # needs (128, 192)
+    with pytest.raises(ValueError, match="re-export"):
+        serving(img)
+
+
 def test_batch_mismatch_rejected(artifact):
     cfg, pred, _ = artifact
     meta, programs = export_inference(cfg, pred.params, batch=2)
