@@ -167,10 +167,12 @@ def fast_rcnn_inference(
     top_classes = (top_idx % num_classes).astype(jnp.int32)
 
     # top_scores are descending out of top_k (invalid = -1 fill sorts
-    # last), so NMS can skip its internal stable re-sort
+    # last), so NMS can skip its internal stable re-sort; only the first
+    # topk_per_image kept entries survive below, so it may also stop once
+    # that many are kept (max_keep early exit — exact, see ops/nms.py)
     keep, order = batched_nms_fixed(
         top_boxes, top_scores, top_classes, top_valid, nms_thresh,
-        assume_sorted=True,
+        assume_sorted=True, max_keep=topk_per_image,
     )
     keep_sorted = keep[order]
     d = topk_per_image

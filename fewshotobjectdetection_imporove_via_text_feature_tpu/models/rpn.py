@@ -254,9 +254,13 @@ def select_top_proposals(
         from ..ops.nms import nms_auto
 
         # scores come straight from top_k (descending): skip NMS's
-        # internal stable re-sort + scatter (assume_sorted contract)
+        # internal stable re-sort + scatter (assume_sorted contract).
+        # Only the first post_nms_topk kept boxes survive below, so NMS
+        # may stop once that many are kept (max_keep early exit — exact,
+        # see ops/nms.py)
         keep, order = nms_auto(
-            boxes, scores, valid, nms_thresh, assume_sorted=True
+            boxes, scores, valid, nms_thresh, assume_sorted=True,
+            max_keep=post_nms_topk,
         )
         # Enumerate kept boxes in score order, take first post_nms_topk.
         keep_sorted = keep[order]

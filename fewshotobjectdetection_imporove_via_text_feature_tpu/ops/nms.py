@@ -62,13 +62,16 @@ def _self_suppress(iou_tile: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
     return keep
 
 
-@partial(jax.jit, static_argnames=("iou_threshold", "assume_sorted"))
+@partial(
+    jax.jit, static_argnames=("iou_threshold", "assume_sorted", "max_keep")
+)
 def nms_fixed(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
     assume_sorted: bool = False,
+    max_keep: int | None = None,
 ):
     """Greedy NMS over a fixed-size padded box set.
 
@@ -84,6 +87,15 @@ def nms_fixed(
             ``top_k``) — skips the internal stable sort + scatter. The
             keep set is identical (invalid entries never suppress, so
             their positions don't matter); ``order`` is then the iota.
+        max_keep: early-exit budget for callers that consume only the
+            first ``max_keep`` kept boxes in score order (RPN post-NMS
+            top-k, Fast R-CNN top-k). Greedy NMS is strictly forward
+            (a box's fate depends only on higher-scored boxes), so once
+            a whole tile boundary passes with >= max_keep boxes kept,
+            later tiles cannot change those decisions — they are skipped
+            and their keep flags stay False. The first max_keep kept
+            boxes are EXACTLY those of the full run; flags beyond them
+            may be missing. None = run every tile (full keep set).
 
     Returns:
         keep: (N,) bool in the ORIGINAL box order.
@@ -130,9 +142,25 @@ def nms_fixed(
 
         return jax.lax.dynamic_update_slice_in_dim(keep, tile_keep, sl, axis=0)
 
-    keep_sorted = jax.lax.fori_loop(
-        0, num_tiles, tile_step, jnp.zeros((np_,), jnp.bool_)
-    )
+    keep0 = jnp.zeros((np_,), jnp.bool_)
+    if max_keep is None:
+        keep_sorted = jax.lax.fori_loop(0, num_tiles, tile_step, keep0)
+    else:
+        # stop at the first tile boundary where max_keep boxes are kept;
+        # identical tile results up to that boundary (see docstring)
+        def cond(state):
+            i, _, count = state
+            return (i < num_tiles) & (count < max_keep)
+
+        def body(state):
+            i, keep, count = state
+            keep = tile_step(i, keep)
+            tile_keep = jax.lax.dynamic_slice_in_dim(keep, i * TILE, TILE)
+            return i + 1, keep, count + jnp.sum(tile_keep.astype(jnp.int32))
+
+        _, keep_sorted, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), keep0, jnp.int32(0))
+        )
 
     if assume_sorted:
         keep = keep_sorted
@@ -141,10 +169,13 @@ def nms_fixed(
     return keep[:n], order[:n]
 
 
-def nms_auto(boxes, scores, valid, iou_threshold, assume_sorted=False):
+def nms_auto(boxes, scores, valid, iou_threshold, assume_sorted=False,
+             max_keep=None):
     """Backend-aware NMS: the Pallas VMEM kernel on TPU (no per-tile XLA
     loop overhead), the XLA tiled version elsewhere (CPU tests, platforms
-    without Mosaic). Override with FSODTF_NMS=xla|pallas."""
+    without Mosaic). Override with FSODTF_NMS=xla|pallas. Both backends
+    stop at the same tile boundary under ``max_keep``, so their keep sets
+    stay bit-identical."""
     import os
 
     choice = os.environ.get("FSODTF_NMS", "auto")
@@ -156,10 +187,12 @@ def nms_auto(boxes, scores, valid, iou_threshold, assume_sorted=False):
         from .nms_pallas import nms_fixed_pallas
 
         return nms_fixed_pallas(
-            boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted
+            boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted,
+            max_keep=max_keep,
         )
     return nms_fixed(
-        boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted
+        boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted,
+        max_keep=max_keep,
     )
 
 
@@ -170,12 +203,14 @@ def batched_nms_fixed(
     valid: jnp.ndarray,
     iou_threshold: float,
     assume_sorted: bool = False,
+    max_keep=None,
 ):
     """Class-aware NMS via the coordinate-offset trick (torchvision
     ``batched_nms``): boxes of different ``idxs`` never overlap.
 
     Boxes must be non-degenerate or masked invalid. The class offsets
-    leave scores untouched, so ``assume_sorted`` passes straight through.
+    leave scores untouched, so ``assume_sorted``/``max_keep`` pass
+    straight through.
     """
     if boxes.shape[0] == 0:
         return valid, jnp.zeros((0,), jnp.int32)
@@ -183,5 +218,6 @@ def batched_nms_fixed(
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
     return nms_auto(
-        shifted, scores, valid, iou_threshold, assume_sorted=assume_sorted
+        shifted, scores, valid, iou_threshold, assume_sorted=assume_sorted,
+        max_keep=max_keep,
     )

@@ -36,8 +36,13 @@ TILE = 128
 BLK_TILES = 8
 
 
-def _nms_kernel(thresh, num_tiles, rows_ref, keep_ref):
-    """rows_ref: (8, N) f32; keep_ref: (8, N) f32 out (row 0 = keep)."""
+def _nms_kernel(thresh, num_tiles, max_keep, rows_ref, keep_ref):
+    """rows_ref: (8, N) f32; keep_ref: (8, N) f32 out (row 0 = keep).
+
+    max_keep (static int | None): stop at the first tile boundary with
+    >= max_keep boxes kept — greedy NMS is strictly forward, so the first
+    max_keep kept boxes are exactly those of the full run; skipped tiles'
+    keep flags stay 0 (see ops/nms.py::nms_fixed docstring)."""
     t = TILE
 
     keep_ref[:] = jnp.zeros_like(keep_ref)
@@ -124,7 +129,20 @@ def _nms_kernel(thresh, num_tiles, rows_ref, keep_ref):
         keep_ref[0:1, pl.ds(s, t)] = jax.lax.transpose(keep_tile, (1, 0))
         return 0
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    if max_keep is None:
+        jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    else:
+        # f32 count carry (int/bool carries trip Mosaic layout bugs)
+        def counted_body(i, count):
+            @pl.when(count < float(max_keep))
+            def _():
+                tile_body(i, 0)
+
+            s = pl.multiple_of(i * t, TILE)
+            # skipped tiles read back their zero-initialized flags -> +0
+            return count + jnp.sum(keep_ref[0:1, pl.ds(s, t)])
+
+        jax.lax.fori_loop(0, num_tiles, counted_body, jnp.float32(0.0))
 
 
 def nms_pallas_sorted(
@@ -132,6 +150,7 @@ def nms_pallas_sorted(
     valid_sorted: jnp.ndarray,   # (N,)
     iou_threshold: float,
     interpret: bool = False,
+    max_keep: int | None = None,
 ):
     """Keep mask (N,) bool for pre-sorted boxes; N padded inside to the
     kernel's 8*TILE cross-tile block width."""
@@ -155,7 +174,7 @@ def nms_pallas_sorted(
         axis=0,
     )  # (8, N)
 
-    kernel = partial(_nms_kernel, float(iou_threshold), num_tiles)
+    kernel = partial(_nms_kernel, float(iou_threshold), num_tiles, max_keep)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),
@@ -167,16 +186,18 @@ def nms_pallas_sorted(
 
 
 def nms_fixed_pallas(boxes, scores, valid, iou_threshold, interpret=False,
-                     assume_sorted=False):
+                     assume_sorted=False, max_keep=None):
     """Drop-in for ops.nms.nms_fixed backed by the Pallas kernel.
 
-    ``assume_sorted``: see ops.nms.nms_fixed — skips the stable sort +
-    scatter when the caller's scores are already descending (top_k
-    output); the keep set is identical."""
+    ``assume_sorted``/``max_keep``: see ops.nms.nms_fixed — the former
+    skips the stable sort + scatter when the caller's scores are already
+    descending (top_k output); the latter skips tiles once max_keep boxes
+    are kept (first-max_keep keep set identical to the full run)."""
     n = boxes.shape[0]
     if assume_sorted:
         keep = nms_pallas_sorted(
-            boxes, valid, iou_threshold, interpret=interpret
+            boxes, valid, iou_threshold, interpret=interpret,
+            max_keep=max_keep,
         )
         return keep, jnp.arange(n, dtype=jnp.int32)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
@@ -184,7 +205,8 @@ def nms_fixed_pallas(boxes, scores, valid, iou_threshold, interpret=False,
         -jnp.where(valid, scores, neg_inf), stable=True
     ).astype(jnp.int32)
     keep_sorted = nms_pallas_sorted(
-        boxes[order], valid[order], iou_threshold, interpret=interpret
+        boxes[order], valid[order], iou_threshold, interpret=interpret,
+        max_keep=max_keep,
     )
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep, order

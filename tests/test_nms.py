@@ -60,6 +60,68 @@ def test_nms_assume_sorted_identical():
     np.testing.assert_array_equal(np.asarray(pk), np.asarray(ref_keep))
 
 
+def test_nms_max_keep_prefix_exact():
+    """max_keep early exit: keep flags are a prefix (in score order) of the
+    full run's — every kept box is kept by the full run, the first
+    max_keep kept boxes match exactly, and at least max_keep are kept
+    whenever the full run keeps that many. Both backends, multi-tile
+    inputs (multiple cross-tile sweep blocks), tile-boundary budgets."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.ops.nms_pallas import (
+        nms_fixed_pallas,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 2048  # 16 tiles, 2 sweep blocks
+    boxes = rand_boxes(rng, n, size=400)
+    scores = np.sort(rng.uniform(0, 1, n).astype(np.float32))[::-1].copy()
+    valid = rng.rand(n) > 0.05
+    args = (jnp.array(boxes), jnp.array(scores), jnp.array(valid), 0.5)
+
+    full, _ = nms_fixed(*args, assume_sorted=True)
+    full = np.asarray(full)
+    total_kept = int(full.sum())
+    assert total_kept > 200  # the budgets below actually bite
+
+    for mk in [1, 100, 128, 500, total_kept, n]:
+        for backend in ("xla", "pallas"):
+            if backend == "xla":
+                keep, _ = nms_fixed(*args, assume_sorted=True, max_keep=mk)
+            else:
+                keep, _ = nms_fixed_pallas(
+                    *args, interpret=True, assume_sorted=True, max_keep=mk
+                )
+            keep = np.asarray(keep)
+            # subset of the full run, and a PREFIX of it in score order
+            assert not (keep & ~full).any()
+            kept_pos = np.where(keep)[0]
+            full_pos = np.where(full)[0]
+            np.testing.assert_array_equal(
+                kept_pos, full_pos[: len(kept_pos)]
+            )
+            # budget honored: at least min(mk, total) kept
+            assert keep.sum() >= min(mk, total_kept)
+
+
+def test_nms_max_keep_unsorted_path():
+    """max_keep composes with the argsort path (keep scattered back to the
+    original order): the first-max_keep kept set matches the full run."""
+    rng = np.random.RandomState(13)
+    n = 640
+    boxes = rand_boxes(rng, n, size=200)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    args = (jnp.array(boxes), jnp.array(scores), jnp.array(valid), 0.5)
+    full, order = nms_fixed(*args)
+    lim, _ = nms_fixed(*args, max_keep=64)
+    full, lim, order = map(np.asarray, (full, lim, order))
+    assert not (lim & ~full).any()
+    # in score order, lim's kept sequence is a prefix of full's
+    np.testing.assert_array_equal(
+        np.where(lim[order])[0], np.where(full[order])[0][: lim.sum()]
+    )
+    assert lim.sum() >= min(64, full.sum())
+
+
 def test_nms_chain_revival():
     # A suppresses B, B suppresses C, A does not suppress C -> C survives.
     boxes = np.array(

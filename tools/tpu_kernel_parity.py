@@ -81,6 +81,44 @@ def check_nms(jax, jnp):
                 f"pallas={int(keep_p.sum())} identical={bool(same)}"
             )
             fails += not same
+
+            # max_keep early exit (the production callers' mode): both
+            # backends stop at the same tile boundary, and the kept set is
+            # a prefix (in score order) of the full run's
+            mk = max(1, int(keep_x.sum()) // 2)
+            order = np.argsort(-scores, kind="stable")
+            sb = jnp.asarray(boxes[order])
+            sv = jnp.asarray(valid[order])
+            lim_x, _ = jax.jit(
+                nms_fixed,
+                static_argnames=("iou_threshold", "assume_sorted", "max_keep"),
+            )(sb, jnp.asarray(scores[order]), sv, thresh,
+              assume_sorted=True, max_keep=mk)
+            lim_p, _ = jax.jit(
+                nms_fixed_pallas,
+                static_argnames=(
+                    "iou_threshold", "interpret", "assume_sorted", "max_keep"
+                ),
+            )(sb, jnp.asarray(scores[order]), sv, thresh,
+              assume_sorted=True, max_keep=mk)
+            lim_x = np.asarray(lim_x)
+            lim_p = np.asarray(lim_p)
+            full_sorted = keep_x[order]
+            prefix_ok = (
+                (lim_x == lim_p).all()
+                and not (lim_x & ~full_sorted).any()
+                and lim_x.sum() >= min(mk, full_sorted.sum())
+                and (
+                    np.where(lim_x)[0]
+                    == np.where(full_sorted)[0][: int(lim_x.sum())]
+                ).all()
+            )
+            print(
+                f"  nms n={n} thresh={thresh} max_keep={mk}: kept "
+                f"xla={int(lim_x.sum())} pallas={int(lim_p.sum())} "
+                f"prefix_exact={bool(prefix_ok)}"
+            )
+            fails += not prefix_ok
     return fails
 
 
