@@ -82,6 +82,30 @@ def test_uncovered_bucket_rejected(artifact):
         serving(img)
 
 
+def test_multiplatform_export_runs_on_cpu(artifact):
+    """--platforms tpu,cpu artifacts must trace without backend-specific
+    custom calls (the Pallas NMS path is forced to the lax implementation)
+    and execute on the current (CPU) backend with identical results."""
+    cfg, pred, path = artifact
+    meta, programs = export_inference(
+        cfg, pred.params, batch=1, platforms=("tpu", "cpu")
+    )
+    assert meta["platforms"] == ["tpu", "cpu"]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "mp.fsodtf")
+        save_serving_artifact(p, meta, programs, pred.params)
+        serving = ServingPredictor(p)
+        ref = ServingPredictor(path)
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (100, 150, 3), dtype=np.uint8)
+        a, b = ref(img), serving(img)
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(a["classes"], b["classes"])
+
+
 def test_batch_mismatch_rejected(artifact):
     cfg, pred, _ = artifact
     meta, programs = export_inference(cfg, pred.params, batch=2)
