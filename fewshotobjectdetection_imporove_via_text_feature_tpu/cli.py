@@ -268,16 +268,6 @@ def main():
 
     args = default_argument_parser().parse_args()
 
-    if args.num_gpus > 1:
-        # reference launch() spawns per-GPU processes; here one process
-        # drives a jax.sharding mesh over ALL local devices, so the flag
-        # is accepted but the device count comes from the runtime
-        logging.getLogger("fsodtf_tpu").info(
-            "--num-gpus %d: data parallelism uses every local device via "
-            "the in-process mesh (flag accepted for run-script compat)",
-            args.num_gpus,
-        )
-
     if args.num_machines > 1:
         # Multi-host: one process per machine joins a global mesh.
         # jax.distributed.initialize makes jax.devices() global, so the
@@ -298,6 +288,17 @@ def main():
         )
 
     cfg = setup(args)
+
+    if args.num_gpus > 1:
+        # reference launch() spawns per-GPU processes; here one process
+        # drives a jax.sharding mesh over ALL local devices, so the flag
+        # is accepted but the device count comes from the runtime. Logged
+        # after setup() — that's where logging handlers are configured.
+        logging.getLogger("fsodtf_tpu").info(
+            "--num-gpus %d: data parallelism uses every local device via "
+            "the in-process mesh (flag accepted for run-script compat)",
+            args.num_gpus,
+        )
 
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         register_all,

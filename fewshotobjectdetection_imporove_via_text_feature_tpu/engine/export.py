@@ -57,7 +57,7 @@ def _forced_nms(choice: Optional[str]):
             os.environ["FSODTF_NMS"] = prev
 
 
-def _bucket_shapes(cfg, buckets) -> Sequence[Tuple[int, int]]:
+def _bucket_shapes(buckets) -> Sequence[Tuple[int, int]]:
     """Distinct padded shapes a predictor can emit: every configured bucket
     in both orientations (data/mapper.py pick_bucket considers (a, b) and
     (b, a))."""
@@ -87,10 +87,15 @@ def export_inference(
     from ..models import build_model
 
     model = build_model(cfg)
-    shapes = _bucket_shapes(cfg, buckets or cfg.TPU.IMAGE_BUCKETS)
+    shapes = _bucket_shapes(buckets or cfg.TPU.IMAGE_BUCKETS)
     platforms = tuple(platforms) if platforms else None
-    # multi-platform programs must avoid backend-specific custom calls
-    nms = "xla" if platforms and len(set(platforms)) > 1 else None
+    # The Pallas NMS kernel is a Mosaic custom call — TPU-only. Any export
+    # that targets a non-TPU platform (multi-platform, or e.g.
+    # --platforms cpu issued from the TPU box) must trace the portable
+    # XLA-lax NMS instead; a pure-TPU export keeps the backend default.
+    nms = None
+    if platforms and any(p.lower() != "tpu" for p in platforms):
+        nms = "xla"
 
     # plain-array calling convention (params dict, image, hw, orig_hw):
     # no custom pytree types inside the serialized programs, so a consumer

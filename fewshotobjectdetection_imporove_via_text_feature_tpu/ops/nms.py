@@ -175,7 +175,10 @@ def nms_auto(boxes, scores, valid, iou_threshold, assume_sorted=False,
     loop overhead), the XLA tiled version elsewhere (CPU tests, platforms
     without Mosaic). Override with FSODTF_NMS=xla|pallas. Both backends
     stop at the same tile boundary under ``max_keep``, so their keep sets
-    stay bit-identical."""
+    stay bit-identical. An explicit FSODTF_NMS=pallas on a CPU backend
+    runs the kernel in interpret mode (exact, slow) instead of crashing
+    in Mosaic lowering — it exists so the kernel's code path can be
+    driven off-TPU."""
     import os
 
     choice = os.environ.get("FSODTF_NMS", "auto")
@@ -189,6 +192,7 @@ def nms_auto(boxes, scores, valid, iou_threshold, assume_sorted=False,
         return nms_fixed_pallas(
             boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted,
             max_keep=max_keep,
+            interpret=(jax.default_backend() == "cpu"),
         )
     return nms_fixed(
         boxes, scores, valid, iou_threshold, assume_sorted=assume_sorted,

@@ -106,6 +106,21 @@ def test_multiplatform_export_runs_on_cpu(artifact):
         np.testing.assert_array_equal(a["classes"], b["classes"])
 
 
+def test_single_nontpu_platform_forces_xla_nms(artifact, monkeypatch):
+    """A single-platform export whose target is NOT tpu must also force the
+    portable XLA NMS — e.g. `--platforms cpu` issued from the TPU box would
+    otherwise trace the Mosaic custom call into a cpu-labeled program.
+    Simulated here by pinning FSODTF_NMS=pallas (Mosaic cannot lower on
+    CPU): the export only succeeds if the tracer overrides it to xla."""
+    cfg, pred, _ = artifact
+    monkeypatch.setenv("FSODTF_NMS", "pallas")
+    meta, programs = export_inference(
+        cfg, pred.params, batch=1, platforms=("cpu",)
+    )
+    assert meta["platforms"] == ["cpu"]
+    assert len(programs) == 2
+
+
 def test_batch_mismatch_rejected(artifact):
     cfg, pred, _ = artifact
     meta, programs = export_inference(cfg, pred.params, batch=2)

@@ -122,6 +122,28 @@ def test_nms_max_keep_unsorted_path():
     assert lim.sum() >= min(64, full.sum())
 
 
+def test_nms_auto_explicit_pallas_on_cpu(monkeypatch):
+    """FSODTF_NMS=pallas on a CPU backend must run the kernel in interpret
+    mode (exact) instead of crashing in Mosaic lowering — the off-TPU way
+    to drive the kernel's code path (e.g. CPU serving exports traced with
+    the env var set)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.ops.nms import (
+        nms_auto,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 200
+    boxes = rand_boxes(rng, n, size=200)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    args = (jnp.array(boxes), jnp.array(scores), jnp.array(valid), 0.5)
+    ref_keep, ref_order = nms_fixed(*args)
+    monkeypatch.setenv("FSODTF_NMS", "pallas")
+    keep, order = nms_auto(*args)
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(ref_keep))
+    np.testing.assert_array_equal(np.asarray(order), np.asarray(ref_order))
+
+
 def test_nms_chain_revival():
     # A suppresses B, B suppresses C, A does not suppress C -> C survives.
     boxes = np.array(

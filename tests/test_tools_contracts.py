@@ -188,15 +188,27 @@ def test_setup_compilation_cache(tmp_path, monkeypatch):
 
     from fewshotobjectdetection_imporove_via_text_feature_tpu import cli
 
-    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jc"))
-    cli._setup_compilation_cache()
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
-    assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
+    # restore the process-global cache config afterwards — conftest points
+    # it at the persistent /tmp/fsodtf_jax_cache that keeps the rest of
+    # the suite warm; leaking the tmp dir would cold-compile everything
+    # that runs after this test
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "jc"))
+        cli._setup_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 1.0
 
-    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
-    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "keep"))
-    cli._setup_compilation_cache()  # disabled: must not touch the config
-    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "keep")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "keep"))
+        cli._setup_compilation_cache()  # disabled: must not touch config
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "keep")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
 
 
 def test_resolve_eval_iter_checkpoint(tmp_path):

@@ -25,6 +25,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# FSODTF_PLATFORM=cpu forces the export run itself off the time-shared TPU
+# (env JAX_PLATFORMS alone is pre-empted by the container sitecustomize —
+# NOTES.md; same override every other tool applies before backend init)
+if os.environ.get("FSODTF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["FSODTF_PLATFORM"])
+
 
 def main():
     ap = argparse.ArgumentParser()
