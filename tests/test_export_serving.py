@@ -121,6 +121,33 @@ def test_single_nontpu_platform_forces_xla_nms(artifact, monkeypatch):
     assert len(programs) == 2
 
 
+def test_text_family_export_serves(tmp_path):
+    """Serving export of a TEXT-family model (TextRes5ROIHeads student
+    inference). The text modules carry numpy class-embedding attributes
+    that make them unhashable — the class of model that crashed the
+    evaluator's jit cache in an earlier round (NOTES.md session-8); the
+    export tracer must not depend on module hashability either."""
+    cfg = get_cfg()
+    cfg.merge_from_list(list(TINY) + [
+        "MODEL.ROI_HEADS.NUM_CLASSES", "15",
+        "MODEL.ROI_HEADS.NAME", "TextRes5ROIHeads",
+        "MODEL.ROI_HEADS.STUDENT_TRAINING", "True",
+        "MODEL.ADDITION.NAME", "glove",
+        "DATASETS.TRAIN", "('voc_2007_trainval_base1',)",
+    ])
+    pred = DefaultPredictor(cfg)
+    meta, programs = export_inference(cfg, pred.params, batch=1)
+    path = str(tmp_path / "text.fsodtf")
+    save_serving_artifact(path, meta, programs, pred.params)
+    serving = ServingPredictor(path)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (100, 150, 3), dtype=np.uint8)
+    a, b = pred(img), serving(img)
+    np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(a["scores"], b["scores"], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(a["classes"], b["classes"])
+
+
 def test_batch_mismatch_rejected(artifact):
     cfg, pred, _ = artifact
     meta, programs = export_inference(cfg, pred.params, batch=2)

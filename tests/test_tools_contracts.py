@@ -236,3 +236,20 @@ def test_resolve_eval_iter_checkpoint(tmp_path):
     )
     with pytest.raises(FileNotFoundError):
         cli.resolve_eval_iter_checkpoint(d, 500)
+
+
+def test_validate_all_script_contract():
+    """tools/validate_all.sh must be syntactically valid and every repo
+    script/tool it invokes must exist (the ledger is only useful if it
+    can't silently drift from the artifacts it claims to run)."""
+    import re
+
+    path = os.path.join(ROOT, "tools", "validate_all.sh")
+    subprocess.run(["bash", "-n", path], check=True)
+    src = open(path).read()
+    referenced = re.findall(r"(?:bash |python )((?:tools/|bench)\S+\.(?:sh|py))", src)
+    assert len(referenced) >= 5  # smokes, parity, bench, overfit
+    for rel in set(referenced):
+        assert os.path.isfile(os.path.join(ROOT, rel)), rel
+    # the driver-checked entry must be invoked exactly as the driver does
+    assert "dryrun_multichip(8)" in src
