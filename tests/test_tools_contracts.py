@@ -82,6 +82,9 @@ def test_extract_results_aggregates_copypaste(tmp_path):
             "noise line\n"
             f"... copypaste: {header}\n"
             f"... copypaste: {','.join(str(x) for x in v)}\n"
+            # a TEST.EXPECTED_RESULTS run logs this AFTER the CSV — the
+            # scraper must key on 'copypaste:', not the last two lines
+            "... INFO: Result verification passed.\n"
         )
     # a 1-shot run dir must NOT leak into the 10-shot table
     other = tmp_path / "1shot_seed0"

@@ -46,7 +46,14 @@ def main():
 
             header, results = [], []
             for fid, fpath in enumerate(paths):
-                lines = open(fpath).readlines()
+                # last two copypaste lines, NOT the literal last two lines:
+                # a TEST.EXPECTED_RESULTS run appends "Result verification
+                # passed." after the CSV (the reference's lines[-2:] scrape,
+                # extract_results.py:31-38, would crash on that — latent
+                # there because no committed config sets EXPECTED_RESULTS)
+                lines = [
+                    ln for ln in open(fpath) if "copypaste:" in ln
+                ]
                 if fid == 0:
                     header = lines[-2].strip().split(":")[-1].split(",")
                 vals = [

@@ -45,10 +45,15 @@ CONFIG=configs/voc/defrcn_gfsod_r101_novel1_1shot_seed0.yaml
 
 echo "=== 4. gfsod fine-tune + PCB eval ==="
 OUT=${SAVE_DIR}/1shot_seed0
+# EXPECTED_RESULTS: loose gate (main.py exits 1 through verify_results on
+# miss) — 5-iter training lands bAP50 ~0.90 on this synthetic set; the
+# wide tolerance only catches silent collapse-to-zero / garbage metrics,
+# the failure mode a plain rc check can't see
 python main.py --config-file ${CONFIG} \
     --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
     SOLVER.MAX_ITER 5 SOLVER.STEPS "(4,)" OUTPUT_DIR ${OUT} \
-    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" ${TINY_OPTS} \
+    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" \
+    TEST.EXPECTED_RESULTS "[('bbox','bAP50',0.9,0.85)]" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
 rm ${CONFIG}
 # main.py writes OUT/log.txt natively (reference setup_logger parity)
