@@ -44,12 +44,15 @@ python tools/create_config.py --dataset coco14 --config_root configs/coco \
     --shot 1 --seed 0 --setting gfsod
 CONFIG=configs/coco/defrcn_gfsod_r101_novel_1shot_seed0.yaml
 
-echo "=== 4. gfsod fine-tune (80 classes) + eval ==="
+echo "=== 4. gfsod fine-tune (80 classes) + PCB eval ==="
 OUT=${SAVE_DIR}/1shot_seed0
+# PCB on (random torchvision-R101 init, like the VOC smoke): drives the
+# COCO branches the VOC smoke can't — prototype build over COCO-format
+# k-shot dicts and the 60-base-id clsid_filter exclusion
 python main.py --config-file ${CONFIG} \
     --opts MODEL.WEIGHTS ${SAVE_DIR}/base/model_reset_surgery.ckpt \
     SOLVER.MAX_ITER 5 SOLVER.STEPS "(4,)" OUTPUT_DIR ${OUT} \
-    TEST.PCB_ENABLE False ${TINY_OPTS} \
+    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
 rm ${CONFIG}
 # main.py writes OUT/log.txt natively (reference setup_logger parity)
