@@ -156,7 +156,12 @@ class Res5ROIHeads(nn.Module):
             x = self.res5(pooled)  # (B*c, 4, 4, 2048)
             # dtype=f32: accumulate the spatial mean in f32 WITHOUT
             # materializing an f32 copy of x first (x.astype(f32) wrote a
-            # 524 MB intermediate at batch 8 inference, ~1 ms/step)
+            # 524 MB intermediate at batch 8 inference, ~1 ms/step).
+            # This reduce measures ~2.2x its HBM bound in traces; a
+            # contraction-against-ones dot_general was A/B'd on-chip
+            # (2026-08-19) and was NOT faster (17.6 vs 17.2 ms per 3-iter
+            # batch-32 trace) — the cost is the sublane-spread spatial
+            # layout, not the op. Don't retry.
             outs.append(
                 jnp.mean(x, axis=(1, 2), dtype=jnp.float32).reshape(
                     b, bx.shape[1], -1
