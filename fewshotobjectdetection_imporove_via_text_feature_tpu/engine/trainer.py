@@ -295,14 +295,32 @@ class Trainer:
                     )
                     self._raw_steps[key] = fn
                 short_d, flip_d = extras
-                params, self.opt_state, losses = fn(
+                step_args = (
                     params, self.opt_state, images_d, gt_d, rng, it,
                     short_d, flip_d,
                 )
             else:
-                params, self.opt_state, losses = self._train_step(
-                    params, self.opt_state, images_d, gt_d, rng, it
-                )
+                fn = self._train_step
+                step_args = (params, self.opt_state, images_d, gt_d, rng, it)
+
+            if (
+                it == self.start_iter
+                and jax.process_count() > 1
+                and jax.default_backend() == "cpu"
+            ):
+                # CPU multi-process: the step's psum runs over gloo, whose
+                # communicator init at the FIRST execution has a ~30 s
+                # connect window — easily blown by cross-rank compile-time
+                # skew. Compile first (no execution; the dispatch-path
+                # recompile reloads from the persistent cache), then
+                # rendezvous so all ranks execute the first collective
+                # together. See parallel.mesh.coordination_barrier.
+                from ..parallel import coordination_barrier
+
+                fn.lower(*step_args).compile()
+                coordination_barrier("fsodtf/train_step0")
+
+            params, self.opt_state, losses = fn(*step_args)
 
             if it % 20 == 0 or it == self.max_iter - 1:
                 losses = {k: float(v) for k, v in losses.items()}

@@ -1,3 +1,3 @@
-from .mesh import get_mesh, shard_batch, replicate
+from .mesh import coordination_barrier, get_mesh, shard_batch, replicate
 
-__all__ = ["get_mesh", "shard_batch", "replicate"]
+__all__ = ["coordination_barrier", "get_mesh", "shard_batch", "replicate"]

@@ -16,6 +16,27 @@ from typing import Any, List
 
 import numpy as np
 
+_rendezvoused = False
+
+
+def _first_gather_rendezvous():
+    """Once per process, before the first real all-gather on a CPU
+    backend: ranks reach their first eval-time collective skewed by the
+    eval program's compile time; the gloo communicator init only tolerates
+    ~30 s of that (see parallel.mesh.coordination_barrier). Every rank
+    calls allgather_pyobj in the same order (lockstep contract), so a
+    once-per-process barrier is consistent."""
+    global _rendezvoused
+    if _rendezvoused:
+        return
+    _rendezvoused = True
+    import jax
+
+    if jax.default_backend() == "cpu":
+        from .mesh import coordination_barrier
+
+        coordination_barrier("fsodtf/first_allgather")
+
 
 def allgather_pyobj(obj: Any) -> List[Any]:
     """All-gather an arbitrary picklable object across jax processes."""
@@ -23,6 +44,7 @@ def allgather_pyobj(obj: Any) -> List[Any]:
 
     if jax.process_count() == 1:
         return [obj]
+    _first_gather_rendezvous()
     from jax.experimental import multihost_utils
 
     payload = np.frombuffer(pickle.dumps(obj), np.uint8)

@@ -42,6 +42,31 @@ def _spans_processes(mesh: Mesh) -> bool:
     return any(d.process_index != me for d in mesh.devices.flat)
 
 
+def coordination_barrier(tag: str, timeout_ms: int = 1_200_000) -> None:
+    """Rendezvous every process at the jax coordination service (plain
+    gRPC — no device collectives involved).
+
+    Why this exists: on CPU backends, cross-process collectives run over
+    gloo, whose communicator is initialized lazily at the FIRST executed
+    collective with a hard ~30 s connect window. Ranks reach that first
+    collective skewed by their (large, variable) XLA compile times — on a
+    loaded 1-core host the skew exceeded 30 s and killed 2-process runs
+    with "Gloo context initialization failed: Connect timeout". Callers
+    pre-compile the program, then rendezvous here (generous timeout), so
+    the collective's communicator init sees all ranks within milliseconds.
+    TPU/ICI collectives have rendezvous windows of minutes and don't need
+    this."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is not None:
+        client.wait_at_barrier(tag, timeout_ms)
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place a host numpy pytree with the leading axis sharded over the
     data mesh axis. Under multi-process, each process's array is its LOCAL

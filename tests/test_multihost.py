@@ -55,7 +55,13 @@ def test_two_process_train_and_eval(tmp_path):
          "datasets", "--shots", "1", "--seed", "0"],
         cwd=ROOT, check=True, capture_output=True,
     )
-    port = 19791
+    # a fixed port can collide with an orphaned coordinator from an
+    # earlier aborted run; bind-and-release to get a free one
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = []
     for rank in (0, 1):
         env = dict(
@@ -79,8 +85,14 @@ def test_two_process_train_and_eval(tmp_path):
             )
         )
     outs = [p.communicate(timeout=420)[0].decode() for p in procs]
-    for rank, out in enumerate(outs):
-        assert procs[rank].returncode == 0, out[-2000:]
+    # show BOTH ranks on failure: a shutdown-barrier timeout on rank 0
+    # usually means rank 1 crashed first — rank 1's tail holds the cause
+    both = "\n".join(
+        f"--- rank {r} (rc={procs[r].returncode}) ---\n{outs[r][-2000:]}"
+        for r in (0, 1)
+    )
+    for rank in (0, 1):
+        assert procs[rank].returncode == 0, both
 
     def losses(txt):
         return re.findall(r"iter \d+ .*total_loss: ([0-9.]+)", txt)

@@ -55,8 +55,12 @@ fi
 if has_tpu; then
     run_step "on-chip kernel parity" \
         timeout 1800 python tools/tpu_kernel_parity.py
+    # bench samples gapped rounds until it sees quiet windows; a TPU
+    # contention burst can stretch it well past its usual ~7 min (its own
+    # watchdog handles a dead relay — give contention room before the
+    # hard kill)
     run_step "bench (one JSON line)" \
-        timeout 1200 python bench.py
+        timeout 2400 python bench.py
     if [ "$FULL" = 1 ]; then
         run_step "production overfit (R-101 on TPU)" \
             timeout 3600 python tools/overfit_map_check.py --production
