@@ -262,3 +262,10 @@ _C.TPU.HOST_SPACE_TO_DEPTH = True
 # step (data/xla_preprocess.py).
 _C.TPU.DEVICE_PREPROCESS = False
 _C.TPU.RAW_BUCKETS = ((384, 512), (512, 512), (512, 768), (768, 1024))
+# ZeRO-style parameter/optimizer sharding over a second mesh axis: the
+# mesh becomes (data = ndev/M, model = M); large tensors are stored
+# 1/M-sharded (GSPMD all-gathers at use, reduce-scatters the grads),
+# cutting per-chip param+optimizer HBM by ~M. The reference is DP-only
+# (SURVEY.md §2.3); this is optional TPU headroom for chips too small to
+# replicate the model. 1 = pure DP (reference parity).
+_C.TPU.MODEL_PARALLEL = 1

@@ -25,7 +25,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..checkpoint import Checkpointer
 from ..data import build_detection_train_loader
 from ..models import build_model
-from ..parallel import get_mesh, replicate, shard_batch
+from ..parallel import (
+    get_mesh,
+    init_sharded,
+    place_like,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from ..solver import build_optimizer
 from ..structures import GTInstances, ImageBatch
 from ..utils.events import MetricsLogger
@@ -121,7 +128,28 @@ class Trainer:
                 f"divisible by the process count {pcount}"
             )
         ndev = len(jax.devices())
-        if pcount > 1:
+        mp = cfg.TPU.MODEL_PARALLEL
+        if mp > 1:
+            # params/opt-state live model-sharded on a (data, model) mesh.
+            # Checkpoint save and the resume path reassemble through the
+            # host, which needs every shard addressable — single-process
+            # only (multi-host ZeRO would need a gather-on-save; the
+            # reference has no analog and DP covers multi-host).
+            if pcount > 1:
+                raise ValueError(
+                    "TPU.MODEL_PARALLEL > 1 is single-process only "
+                    "(multi-host runs use the pure-DP mesh)"
+                )
+            if ndev % mp:
+                raise ValueError(
+                    f"TPU.MODEL_PARALLEL {mp} must divide the device "
+                    f"count {ndev}"
+                )
+            data = ndev // mp
+            while cfg.SOLVER.IMS_PER_BATCH % data:
+                data -= 1
+            self.mesh = get_mesh(data * mp, model=mp)
+        elif pcount > 1:
             # no mesh shrinking across processes: every process's local
             # devices must be in the mesh for host-local batch assembly
             if cfg.SOLVER.IMS_PER_BATCH % ndev:
@@ -130,10 +158,11 @@ class Trainer:
                     f"{cfg.SOLVER.IMS_PER_BATCH} must be divisible by the "
                     f"global device count {ndev}"
                 )
+            self.mesh = get_mesh(ndev)
         else:
             while cfg.SOLVER.IMS_PER_BATCH % ndev:
                 ndev -= 1
-        self.mesh = get_mesh(ndev)
+            self.mesh = get_mesh(ndev)
         self.seed = default_setup(cfg)
         if pcount > 1:
             # all processes must init identical params / step rngs
@@ -186,10 +215,19 @@ class Trainer:
             )
 
         self.tx, self.schedule = build_optimizer(cfg, self.params)
-        self.opt_state = self.tx.init(self.params)
 
-        self.params = replicate(self.mesh, self.params)
-        self.opt_state = replicate(self.mesh, self.opt_state)
+        if cfg.TPU.MODEL_PARALLEL > 1:
+            # ZeRO-style layout: large params live 1/M-sharded over the
+            # model axis; init_sharded pins each momentum buffer to its
+            # param's layout (the actual HBM win).
+            self.params = shard_params(self.mesh, self.params)
+            self.opt_state = init_sharded(
+                self.mesh, self.tx.init, self.params
+            )
+        else:
+            self.opt_state = self.tx.init(self.params)
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
 
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx), donate_argnums=(0, 1)
@@ -216,7 +254,14 @@ class Trainer:
         if resume:
             loaded = self.checkpointer.load_latest()
             if loaded is not None:
-                self.params = replicate(self.mesh, loaded["params"])
+                # keep the live layout: model-sharded under MODEL_PARALLEL
+                # (place_like copies each live leaf's sharding); replicate
+                # otherwise (it alone handles meshes spanning processes)
+                if self.cfg.TPU.MODEL_PARALLEL > 1:
+                    restore = partial(place_like, self.params)
+                else:
+                    restore = partial(replicate, self.mesh)
+                self.params = restore(loaded["params"])
                 restored = loaded.get("opt_state")
                 if restored is not None:
                     try:
@@ -233,7 +278,12 @@ class Trainer:
                         new_state = serialization.from_state_dict(
                             self.opt_state, restored
                         )
-                    self.opt_state = replicate(self.mesh, new_state)
+                    if self.cfg.TPU.MODEL_PARALLEL > 1:
+                        self.opt_state = place_like(
+                            self.opt_state, new_state
+                        )
+                    else:
+                        self.opt_state = replicate(self.mesh, new_state)
                 self.start_iter = int(loaded.get("iteration", 0)) + 1
 
     def train(self):

@@ -18,18 +18,106 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# ZeRO sharding threshold: tensors under this many elements stay
+# replicated (biases, norm scales — sharding them saves ~nothing and
+# costs a collective each). Production conv kernels are millions of
+# elements; the exact cutoff only matters for test-scale models.
+ZERO_MIN_SIZE = 1 << 15
+
+
 def get_mesh(
     num_devices: Optional[int] = None,
     axis_name: str = "data",
     local: bool = False,
+    model: int = 1,
 ) -> Mesh:
-    """1-D data mesh. ``local=True`` restricts to this process's devices —
-    required for paths that fetch results to the host (e.g. evaluation),
-    since arrays spanning non-addressable devices cannot be fetched."""
+    """Data mesh; ``model > 1`` adds a second ``model`` axis (devices laid
+    out (data, model) with model innermost, so the model axis rides the
+    tightest ICI links on real topologies). ``local=True`` restricts to
+    this process's devices — required for paths that fetch results to the
+    host (e.g. evaluation), since arrays spanning non-addressable devices
+    cannot be fetched."""
     devices = jax.local_devices() if local else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if model > 1:
+        if len(devices) % model:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by model={model}"
+            )
+        grid = np.asarray(devices).reshape(len(devices) // model, model)
+        return Mesh(grid, (axis_name, "model"))
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def param_partition_spec(
+    shape, model: int, min_size: int = ZERO_MIN_SIZE
+) -> P:
+    """ZeRO-style partition spec for one parameter tensor: shard the
+    largest dimension divisible by ``model`` over the ``model`` axis
+    (ties broken toward the LAST such dim — output channels for conv
+    kernels, the natural Megatron column split). Small tensors (biases,
+    norm scales, < min_size elements) stay replicated: sharding them
+    saves nothing and costs a collective each."""
+    if model <= 1 or int(np.prod(shape)) < min_size:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if d % model == 0 and d >= model and (
+            best is None or d >= shape[best]
+        ):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "model"
+    return P(*spec)
+
+
+def shard_params(mesh: Mesh, tree, min_size: int = ZERO_MIN_SIZE):
+    """Place a parameter pytree sharded over the mesh ``model`` axis
+    (replicated over ``data``) — the TPU-native analog of ZeRO-3/FSDP:
+    each device stores 1/model of the large tensors; GSPMD inserts the
+    all-gathers at use and reduce-scatters on the gradients. On a 1-D
+    mesh this degrades to plain replication."""
+    model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+    def place(x):
+        spec = param_partition_spec(np.shape(x), model, min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def init_sharded(mesh: Mesh, fn, *args, min_size: int = ZERO_MIN_SIZE):
+    """jit ``fn(*args)`` with every output leaf placed by the ZeRO rule
+    (shard the largest divisible dim over ``model``). Used for optimizer
+    init: momentum buffers are zeros_like constants with no data
+    dependence on the params, so plain sharding propagation is free to
+    place them on a single device (observed on the CPU backend) — the
+    explicit out_shardings pin them to their params' layout."""
+    model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    shapes = jax.eval_shape(fn, *args)
+    out_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(
+            mesh, param_partition_spec(s.shape, model, min_size)
+        ),
+        shapes,
+    )
+    return jax.jit(fn, out_shardings=out_shardings)(*args)
+
+
+def place_like(like_tree, new_tree):
+    """Place ``new_tree`` (host values) with the exact shardings of the
+    live ``like_tree`` — used on resume so restored params/opt state keep
+    the trainer's (possibly model-sharded) layout."""
+
+    def put(like, new):
+        if isinstance(like, jax.Array):
+            return jax.device_put(np.asarray(new), like.sharding)
+        return new
+
+    return jax.tree_util.tree_map(put, like_tree, new_tree)
 
 
 def _spans_processes(mesh: Mesh) -> bool:
