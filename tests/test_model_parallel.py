@@ -83,6 +83,24 @@ def test_zero_step_matches_dp():
         assert any(
             "model" in leaf.sharding.spec for leaf in mom
         ), [leaf.sharding.spec for leaf in mom]
+        # the point of ZeRO: device 0 stores materially less than the
+        # full param set
+        dev0 = jax.devices()[0]
+
+        def dev0_bytes(tree):
+            total = 0
+            for leaf in jax.tree_util.tree_leaves(tree):
+                for s in leaf.addressable_shards:
+                    if s.device == dev0:
+                        total += s.data.nbytes
+            return total
+
+        full = sum(
+            leaf.nbytes for leaf in jax.tree_util.tree_leaves(p)
+        )
+        assert dev0_bytes(p) < 0.75 * full, (dev0_bytes(p), full)
+        assert dev0_bytes(opt[0].trace) < 0.75 * full
+
         im, g_ = shard_batch(mesh_mp, (images, gt))
         p_mp, _, losses_mp = step(p, opt, im, g_, jax.random.PRNGKey(3), 0)
         losses_mp = jax.device_get(losses_mp)
@@ -129,6 +147,25 @@ def test_trainer_model_parallel_end_to_end(tmp_path):
         np.all(np.isfinite(leaf))
         for leaf in jax.tree_util.tree_leaves(jax.device_get(params))
     )
+
+    # evaluation consumes the model-sharded params (replicate() reshards
+    # them onto the eval mesh)
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
+        build_detection_test_loader,
+    )
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation import (
+        PascalVOCDetectionEvaluator,
+        inference_on_dataset,
+    )
+
+    loader = build_detection_test_loader(
+        cfg, cfg.DATASETS.TEST[0], batch_size=2
+    )
+    res = inference_on_dataset(
+        trainer.model, params, loader,
+        PascalVOCDetectionEvaluator(cfg.DATASETS.TEST[0]),
+    )
+    assert np.isfinite(res["bbox"]["AP50"])
 
     trainer2 = Trainer(cfg)
     trainer2.resume_or_load(resume=True)
