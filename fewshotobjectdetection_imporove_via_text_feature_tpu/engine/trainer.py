@@ -229,9 +229,7 @@ class Trainer:
             self.params = replicate(self.mesh, self.params)
             self.opt_state = replicate(self.mesh, self.opt_state)
 
-        self._train_step = jax.jit(
-            make_train_step(self.model, self.tx), donate_argnums=(0, 1)
-        )
+        self._train_step = self._jit_step(make_train_step(self.model, self.tx))
         self._raw_steps = {}  # target_hw -> jitted device-preprocess step
 
         self.checkpointer = Checkpointer(
@@ -250,6 +248,31 @@ class Trainer:
         self.metrics = MetricsLogger(out)
         self.hooks = []
 
+    def _jit_step(self, fn):
+        """jit a train step; under MODEL_PARALLEL, pin the returned
+        params/opt_state to the live ZeRO layout. The updated state has no
+        sharding annotation of its own (optax update = elementwise tree
+        math), and GSPMD propagation is free to pick a different output
+        layout — which would silently recompile step 2 and lose the
+        per-chip HBM win (the same propagation freedom init_sharded pins
+        for the momentum zeros)."""
+        if self.cfg.TPU.MODEL_PARALLEL <= 1:
+            return jax.jit(fn, donate_argnums=(0, 1))
+        param_layout = jax.tree_util.tree_map(
+            lambda x: x.sharding, self.params
+        )
+        opt_layout = jax.tree_util.tree_map(
+            lambda x: x.sharding, self.opt_state
+        )
+
+        def pinned(params, opt_state, *rest):
+            new_p, new_o, losses = fn(params, opt_state, *rest)
+            new_p = jax.lax.with_sharding_constraint(new_p, param_layout)
+            new_o = jax.lax.with_sharding_constraint(new_o, opt_layout)
+            return new_p, new_o, losses
+
+        return jax.jit(pinned, donate_argnums=(0, 1))
+
     def resume_or_load(self, resume: bool = True):
         if resume:
             loaded = self.checkpointer.load_latest()
@@ -265,8 +288,13 @@ class Trainer:
                 restored = loaded.get("opt_state")
                 if restored is not None:
                     try:
+                        # host-side staging (np, not jnp): jnp.asarray
+                        # would materialize every leaf UNSHARDED on the
+                        # default device before placement — under
+                        # MODEL_PARALLEL that alone can OOM a chip that
+                        # only fits the 1/M-sharded state
                         new_state = jax.tree_util.tree_map(
-                            lambda ref, new: jnp.asarray(new),
+                            lambda ref, new: np.asarray(new),
                             self.opt_state,
                             restored,
                         )
@@ -336,12 +364,11 @@ class Trainer:
                 key = tuple(meta["target_hw"])
                 fn = self._raw_steps.get(key)
                 if fn is None:
-                    fn = jax.jit(
+                    fn = self._jit_step(
                         make_train_step(
                             self.model, self.tx,
                             preprocess=(cfg.INPUT.MAX_SIZE_TRAIN, key),
-                        ),
-                        donate_argnums=(0, 1),
+                        )
                     )
                     self._raw_steps[key] = fn
                 short_d, flip_d = extras
@@ -410,7 +437,12 @@ class Trainer:
 
     def save(self, params, iteration, name=None):
         if jax.process_index() != 0:
-            return  # rank 0 writes; params are replicated
+            # rank 0 writes. Multi-process params are replicated (full
+            # value in local shards). MODEL_PARALLEL params are sharded
+            # but single-process (enforced in __init__) — device_get
+            # assembles the global value; lifting that restriction needs
+            # a gather-on-save here.
+            return
         self.checkpointer.save(
             {
                 "params": jax.device_get(params),

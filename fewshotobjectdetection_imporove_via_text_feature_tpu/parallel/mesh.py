@@ -31,12 +31,12 @@ def get_mesh(
     local: bool = False,
     model: int = 1,
 ) -> Mesh:
-    """Data mesh; ``model > 1`` adds a second ``model`` axis (devices laid
-    out (data, model) with model innermost, so the model axis rides the
-    tightest ICI links on real topologies). ``local=True`` restricts to
-    this process's devices — required for paths that fetch results to the
-    host (e.g. evaluation), since arrays spanning non-addressable devices
-    cannot be fetched."""
+    """Data mesh; ``model > 1`` adds a second ``model`` axis, laid out
+    topology-aware via mesh_utils (model innermost) so the per-step
+    param all-gathers ride adjacent ICI links on real slices.
+    ``local=True`` restricts to this process's devices — required for
+    paths that fetch results to the host (e.g. evaluation), since arrays
+    spanning non-addressable devices cannot be fetched."""
     devices = jax.local_devices() if local else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
@@ -45,9 +45,19 @@ def get_mesh(
             raise ValueError(
                 f"{len(devices)} devices not divisible by model={model}"
             )
-        grid = np.asarray(devices).reshape(len(devices) // model, model)
+        from jax.experimental import mesh_utils
+
+        # enumeration order != physical adjacency on multi-chip slices;
+        # create_device_mesh walks the torus (plain reshape on CPU/1-chip)
+        grid = mesh_utils.create_device_mesh(
+            (len(devices) // model, model), devices=devices
+        )
         return Mesh(grid, (axis_name, "model"))
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _model_axis_size(mesh: Mesh) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
 
 
 def param_partition_spec(
@@ -80,7 +90,7 @@ def shard_params(mesh: Mesh, tree, min_size: int = ZERO_MIN_SIZE):
     each device stores 1/model of the large tensors; GSPMD inserts the
     all-gathers at use and reduce-scatters on the gradients. On a 1-D
     mesh this degrades to plain replication."""
-    model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    model = _model_axis_size(mesh)
 
     def place(x):
         spec = param_partition_spec(np.shape(x), model, min_size)
@@ -96,7 +106,7 @@ def init_sharded(mesh: Mesh, fn, *args, min_size: int = ZERO_MIN_SIZE):
     dependence on the params, so plain sharding propagation is free to
     place them on a single device (observed on the CPU backend) — the
     explicit out_shardings pin them to their params' layout."""
-    model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    model = _model_axis_size(mesh)
     shapes = jax.eval_shape(fn, *args)
     out_shardings = jax.tree_util.tree_map(
         lambda s: NamedSharding(

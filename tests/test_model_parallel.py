@@ -148,8 +148,17 @@ def test_trainer_model_parallel_end_to_end(tmp_path):
         for leaf in jax.tree_util.tree_leaves(jax.device_get(params))
     )
 
-    # evaluation consumes the model-sharded params (replicate() reshards
-    # them onto the eval mesh)
+    # the steady-state layout must survive the train steps: the jitted
+    # step pins its outputs (Trainer._jit_step) so GSPMD can't silently
+    # flip the updated params back to replicated
+    assert any(
+        "model" in leaf.sharding.spec
+        for leaf in jax.tree_util.tree_leaves(params)
+    )
+
+    # evaluation consumes the model-sharded params through the PRODUCTION
+    # path (cli.do_test uses a local 1-D eval mesh when ndev>1):
+    # replicate() must reshard the 2-D model-sharded leaves onto it
     from fewshotobjectdetection_imporove_via_text_feature_tpu.data import (
         build_detection_test_loader,
     )
@@ -164,6 +173,7 @@ def test_trainer_model_parallel_end_to_end(tmp_path):
     res = inference_on_dataset(
         trainer.model, params, loader,
         PascalVOCDetectionEvaluator(cfg.DATASETS.TEST[0]),
+        mesh=get_mesh(2, local=True),
     )
     assert np.isfinite(res["bbox"]["AP50"])
 
