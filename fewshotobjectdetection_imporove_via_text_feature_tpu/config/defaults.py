@@ -262,6 +262,13 @@ _C.TPU.HOST_SPACE_TO_DEPTH = True
 # step (data/xla_preprocess.py).
 _C.TPU.DEVICE_PREPROCESS = False
 _C.TPU.RAW_BUCKETS = ((384, 512), (512, 512), (512, 768), (768, 1024))
+# Spatial partitioning for low-latency serving (DefaultPredictor only):
+# shard the image/feature H axis over S chips so the backbone of ONE
+# image runs spatially split (GSPMD conv halo exchanges); res4 gathers
+# back before the RPN/ROI stages. Cuts batch-1 latency when a single
+# image underfills the chip. 1 = off. The reference has no latency-
+# scaling story (DDP only helps throughput).
+_C.TPU.SPATIAL_PARTITION = 1
 # ZeRO-style parameter/optimizer sharding over a second mesh axis: the
 # mesh becomes (data = ndev/M, model = M); large tensors are stored
 # 1/M-sharded (GSPMD all-gathers at use, reduce-scatters the grads),

@@ -58,6 +58,27 @@ class DefaultPredictor:
     def __init__(self, cfg, params=None):
         self.cfg = cfg
         self.model = build_model(cfg)
+        # Spatial partitioning (cfg.TPU.SPATIAL_PARTITION = S > 1): run
+        # ONE image's backbone split over S chips along the H axis —
+        # batch-1 latency scaling the reference cannot express (its DDP
+        # only scales throughput). The model constrains shardings at the
+        # backbone boundary (meta_arch.compute_features); detections are
+        # identical to the unsharded path (tests/test_spatial_partition).
+        self._mesh = None
+        sp = cfg.TPU.SPATIAL_PARTITION
+        if sp > 1:
+            from jax.sharding import Mesh
+
+            devices = jax.devices()
+            if len(devices) < sp:
+                raise ValueError(
+                    f"TPU.SPATIAL_PARTITION {sp} needs {sp} devices, "
+                    f"have {len(devices)}"
+                )
+            self.model = self.model.clone(spatial_axis="spatial")
+            self._mesh = Mesh(
+                np.asarray(devices[:sp]), ("spatial",)
+            )
         if params is None:
             import jax.numpy as jnp
 
@@ -67,9 +88,10 @@ class DefaultPredictor:
                 hw=jnp.asarray([[h, w]], jnp.int32),
                 orig_hw=jnp.asarray([[h, w]], jnp.int32),
             )
-            variables = jax.jit(partial(self.model.init, train=False))(
-                {"params": jax.random.PRNGKey(0)}, dummy
-            )
+            with self._mesh_ctx():
+                variables = jax.jit(partial(self.model.init, train=False))(
+                    {"params": jax.random.PRNGKey(0)}, dummy
+                )
             params = variables["params"]
             if cfg.MODEL.WEIGHTS:
                 params = maybe_load_reference_weights(
@@ -78,9 +100,17 @@ class DefaultPredictor:
         self.params = params
         self._apply = jax.jit(partial(self.model.apply, train=False))
 
+    def _mesh_ctx(self):
+        if self._mesh is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self._mesh
+
     def __call__(self, original_image: np.ndarray):
         batch = preprocess_single_image(self.cfg, original_image)
-        det = self._apply({"params": self.params}, batch)
+        with self._mesh_ctx():
+            det = self._apply({"params": self.params}, batch)
         valid = np.asarray(det.valid[0])
         return {
             "boxes": np.asarray(det.boxes[0])[valid],

@@ -124,6 +124,15 @@ class GeneralizedRCNN(nn.Module):
     # text-head distillation gates (see build.py: DISTILLATE/L2 flags)
     distill_l2: bool = True
     distill_kl: bool = True
+    # Spatial partitioning (SP) for low-latency serving: name of a mesh
+    # axis to shard the image/feature H dimension over. The backbone runs
+    # spatially split across chips (GSPMD inserts the conv halo
+    # exchanges); res4 is gathered back to replicated before the RPN/ROI
+    # stages, whose ops (top-k, NMS, ROIAlign) are not spatially local.
+    # None = off (single-chip / DP semantics, the default everywhere; set
+    # by DefaultPredictor via cfg.TPU.SPATIAL_PARTITION). The surrounding
+    # jit must be traced inside `with Mesh(...)` carrying this axis.
+    spatial_axis: Optional[str] = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -244,9 +253,24 @@ class GeneralizedRCNN(nn.Module):
 
     def compute_features(self, images: ImageBatch):
         x = self.normalize(images.image)
+        if self.spatial_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # shard the image H axis: the whole backbone then runs
+            # spatially partitioned (GSPMD halo-exchanges the conv edges)
+            x = jax.lax.with_sharding_constraint(
+                x, P(None, self.spatial_axis)
+            )
         pre_s2d = images.image.shape[-1] == 4 * len(self.pixel_mean)
         feats = self.backbone(x, pre_s2d=pre_s2d)
         feat = feats["res4"]
+        if self.spatial_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # res4 at stride 16 is small (~8 MB bf16 at 800x1344): gather
+            # it once; RPN selection / ROIAlign / NMS are not spatially
+            # local, so they run replicated from here
+            feat = jax.lax.with_sharding_constraint(feat, P())
         if self.freeze_backbone:
             feat = jax.lax.stop_gradient(feat)
         return feat, feats
