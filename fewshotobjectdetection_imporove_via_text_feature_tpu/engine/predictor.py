@@ -64,21 +64,28 @@ class DefaultPredictor:
         # only scales throughput). The model constrains shardings at the
         # backbone boundary (meta_arch.compute_features); detections are
         # identical to the unsharded path (tests/test_spatial_partition).
-        self._mesh = None
+        import contextlib
+
+        self._mesh = contextlib.nullcontext()
         sp = cfg.TPU.SPATIAL_PARTITION
         if sp > 1:
-            from jax.sharding import Mesh
+            from ..parallel import get_mesh
 
-            devices = jax.devices()
-            if len(devices) < sp:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "TPU.SPATIAL_PARTITION is single-process only "
+                    "(detections are fetched to this host)"
+                )
+            # local=True: detections are fetched to the host, so every
+            # mesh device must be addressable (see parallel.mesh.get_mesh)
+            ndev = len(jax.local_devices())
+            if ndev < sp:
                 raise ValueError(
                     f"TPU.SPATIAL_PARTITION {sp} needs {sp} devices, "
-                    f"have {len(devices)}"
+                    f"have {ndev}"
                 )
             self.model = self.model.clone(spatial_axis="spatial")
-            self._mesh = Mesh(
-                np.asarray(devices[:sp]), ("spatial",)
-            )
+            self._mesh = get_mesh(sp, axis_name="spatial", local=True)
         if params is None:
             import jax.numpy as jnp
 
@@ -88,7 +95,7 @@ class DefaultPredictor:
                 hw=jnp.asarray([[h, w]], jnp.int32),
                 orig_hw=jnp.asarray([[h, w]], jnp.int32),
             )
-            with self._mesh_ctx():
+            with self._mesh:
                 variables = jax.jit(partial(self.model.init, train=False))(
                     {"params": jax.random.PRNGKey(0)}, dummy
                 )
@@ -100,16 +107,9 @@ class DefaultPredictor:
         self.params = params
         self._apply = jax.jit(partial(self.model.apply, train=False))
 
-    def _mesh_ctx(self):
-        if self._mesh is None:
-            import contextlib
-
-            return contextlib.nullcontext()
-        return self._mesh
-
     def __call__(self, original_image: np.ndarray):
         batch = preprocess_single_image(self.cfg, original_image)
-        with self._mesh_ctx():
+        with self._mesh:
             det = self._apply({"params": self.params}, batch)
         valid = np.asarray(det.valid[0])
         return {

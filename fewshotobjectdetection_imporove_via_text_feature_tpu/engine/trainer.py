@@ -127,6 +127,15 @@ class Trainer:
                 f"SOLVER.IMS_PER_BATCH {cfg.SOLVER.IMS_PER_BATCH} must be "
                 f"divisible by the process count {pcount}"
             )
+        if cfg.TPU.SPATIAL_PARTITION > 1:
+            # serving-only knob (DefaultPredictor); accepting it here
+            # would silently train plain DP — fail loudly instead
+            # (models/build.py convention for inert overrides)
+            raise ValueError(
+                "TPU.SPATIAL_PARTITION applies to DefaultPredictor "
+                "serving only; training parallelism is TPU.MODEL_PARALLEL "
+                "+ the data mesh"
+            )
         ndev = len(jax.devices())
         mp = cfg.TPU.MODEL_PARALLEL
         if mp > 1:

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.sharding import PartitionSpec
 
 from ..ops.gdl import decouple_layer
 from ..structures import Detections, GTInstances, ImageBatch
@@ -254,23 +255,19 @@ class GeneralizedRCNN(nn.Module):
     def compute_features(self, images: ImageBatch):
         x = self.normalize(images.image)
         if self.spatial_axis is not None:
-            from jax.sharding import PartitionSpec as P
-
             # shard the image H axis: the whole backbone then runs
             # spatially partitioned (GSPMD halo-exchanges the conv edges)
             x = jax.lax.with_sharding_constraint(
-                x, P(None, self.spatial_axis)
+                x, PartitionSpec(None, self.spatial_axis)
             )
         pre_s2d = images.image.shape[-1] == 4 * len(self.pixel_mean)
         feats = self.backbone(x, pre_s2d=pre_s2d)
         feat = feats["res4"]
         if self.spatial_axis is not None:
-            from jax.sharding import PartitionSpec as P
-
             # res4 at stride 16 is small (~8 MB bf16 at 800x1344): gather
             # it once; RPN selection / ROIAlign / NMS are not spatially
             # local, so they run replicated from here
-            feat = jax.lax.with_sharding_constraint(feat, P())
+            feat = jax.lax.with_sharding_constraint(feat, PartitionSpec())
         if self.freeze_backbone:
             feat = jax.lax.stop_gradient(feat)
         return feat, feats

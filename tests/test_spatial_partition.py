@@ -46,7 +46,7 @@ def test_spatial_partition_matches_unsharded():
     )
 
     batch = preprocess_single_image(cfg, image)
-    with sharded._mesh_ctx():
+    with sharded._mesh:
         txt = sharded._apply.lower(
             {"params": sharded.params}, batch
         ).compile().as_text()
