@@ -501,6 +501,61 @@ def main(cpu_baseline: bool = False):
         traceback.print_exc()
         print(f"text-distill bench failed: {e}", flush=True)
 
+    # Batch-1 serving latency (DefaultPredictor shape): per-request
+    # dispatch -> execute -> readback of the SAME inference program at
+    # batch 1 — the serving-relevant number throughput scaling cannot
+    # express (TPU.SPATIAL_PARTITION is the multi-chip lever for it).
+    # Unlike the pipelined throughput loop, each request is timed alone:
+    # this is what one caller of DefaultPredictor experiences, relay
+    # overhead included. Distinct device-resident inputs per request
+    # (relay result-cache trap), full readback, min over gapped rounds.
+    lat_ms = None
+    try:
+        if watchdog is not None:
+            watchdog.phase = "batch-1 latency (compile/measure)"
+        img1 = make_inputs(1, seed=3)
+
+        def fresh1(k):
+            imgs = np.array(img1.image)
+            imgs[0, 0, 0, :2] = (k // 256, k % 256)
+            imgs[0, 0, 2, :4] = nonce
+            return ImageBatch(image=imgs, hw=img1.hw, orig_hw=img1.orig_hw)
+
+        apply1 = (
+            jax.jit(lambda v, i: model.apply(v, i, train=False))
+            .lower(variables, img1)
+            .compile()
+        )
+        jax.block_until_ready(apply1(variables, img1).scores)
+        if watchdog is not None:
+            watchdog.beat()
+        best = float("inf")
+        quiet1 = 0
+        start1 = time.perf_counter()
+        k1 = 0
+        for r in range(30):
+            if r:
+                quiet1 += best <= 0.050  # ~1.5x the ~30 ms relay floor
+                if quiet1 >= 3 or time.perf_counter() - start1 > 180.0:
+                    break
+                time.sleep(5.0)
+            for _ in range(3):
+                im = jax.device_put(fresh1(k1))
+                k1 += 1
+                jax.block_until_ready(im.image)
+                t0 = time.perf_counter()
+                out = apply1(variables, im)
+                np.asarray(out.scores)
+                best = min(best, time.perf_counter() - t0)
+            if watchdog is not None:
+                watchdog.beat()
+        lat_ms = best * 1000.0
+    except Exception as e:  # never lose earlier metrics to this phase
+        import traceback
+
+        traceback.print_exc()
+        print(f"batch-1 latency bench failed: {e}", flush=True)
+
     rec = {
         "metric": "r101_c4_inference_throughput_800x1344",
         "value": round(ips, 3),
@@ -533,6 +588,11 @@ def main(cpu_baseline: bool = False):
         ),
         "text_distill_flops_per_image": (
             round(text_flops / TRAIN_BATCH) if text_flops else None
+        ),
+        # one caller's end-to-end request time at batch 1 (relay/dispatch
+        # included) — the serving latency DefaultPredictor delivers
+        "serving_batch1_latency_ms": (
+            round(lat_ms, 2) if lat_ms is not None else None
         ),
         "peak_flops": peak,
     }

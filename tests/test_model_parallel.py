@@ -118,6 +118,26 @@ def test_zero_step_matches_dp():
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5)
 
 
+def test_trainer_rejects_inert_parallel_knobs(tmp_path):
+    """Fail-loudly contract: a serving-only or indivisible parallelism
+    override must not silently train plain DP."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+    from tests.test_end_to_end import setup_dataset, tiny_cfg
+
+    setup_dataset(str(tmp_path))
+    cfg = tiny_cfg(tmp_path)
+    cfg.TPU.SPATIAL_PARTITION = 2
+    with pytest.raises(ValueError, match="SPATIAL_PARTITION"):
+        Trainer(cfg)
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.TPU.MODEL_PARALLEL = len(jax.devices()) + 1
+    with pytest.raises(ValueError, match="MODEL_PARALLEL"):
+        Trainer(cfg)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_trainer_model_parallel_end_to_end(tmp_path):
     """Trainer with TPU.MODEL_PARALLEL=2: trains, checkpoints, resumes —
