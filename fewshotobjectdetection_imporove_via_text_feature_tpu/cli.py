@@ -162,6 +162,15 @@ def do_test(cfg, params=None, model=None):
         ImageBatch,
     )
 
+    if cfg.TPU.SPATIAL_PARTITION > 1:
+        # serving-only knob (DefaultPredictor); evaluation parallelizes by
+        # sharding the batch over the local mesh instead — accepting it
+        # here would silently evaluate unpartitioned (fail-loudly
+        # convention, models/build.py)
+        raise ValueError(
+            "TPU.SPATIAL_PARTITION applies to DefaultPredictor serving "
+            "only; evaluation shards batches over the local data mesh"
+        )
     if model is None:
         model = build_model(cfg)
     if params is None:

@@ -65,3 +65,14 @@ def test_spatial_partition_device_gate():
     cfg.TPU.SPATIAL_PARTITION = 10_000
     with pytest.raises(ValueError, match="SPATIAL_PARTITION"):
         DefaultPredictor(cfg)
+
+
+def test_spatial_partition_rejected_by_eval():
+    """do_test must fail loudly, not silently evaluate unpartitioned
+    (the knob is DefaultPredictor-serving-only)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu import cli
+
+    cfg = _tiny_cfg()
+    cfg.TPU.SPATIAL_PARTITION = 2
+    with pytest.raises(ValueError, match="SPATIAL_PARTITION"):
+        cli.do_test(cfg)
