@@ -232,3 +232,25 @@ def test_cli_end_to_end_with_log_contract(tmp_path):
     # the last line is the numeric row extract_results parses
     vals = lines[-1].split(":")[-1].split(",")
     assert all(float(v) >= 0.0 for v in vals)
+
+    # --- restart workflow: main.py --resume must continue from the saved
+    # iteration, not retrain from 0 (crash-and-resume recovery model,
+    # ref engine/defaults.py:277-293). Same config/shapes -> warm
+    # compile cache, so this leg is cheap.
+    resume_opts = list(opts)
+    resume_opts[resume_opts.index("SOLVER.MAX_ITER") + 1] = "4"
+    resume_opts[resume_opts.index("SOLVER.STEPS") + 1] = "(3,)"
+    r2 = subprocess.run(
+        [sys.executable, "main.py",
+         "--config-file", "configs/voc/defrcn_det_r101_base1.yaml",
+         "--resume", "--opts", *resume_opts],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    log2 = [l.strip() for l in open(log) if "iter " in l]
+    # leg 1 (MAX_ITER=2) logged iter 0 and 1; the resume leg starts at
+    # iter 2 and must log 3 (= MAX_ITER-1) but never re-log iter 0
+    leg2 = [l for l in log2 if "iter 3" in l]
+    assert leg2, log2[-5:]
+    assert sum("iter 0 " in l for l in log2) == 1, log2
