@@ -55,6 +55,14 @@ class Checkpointer:
         return self._orbax
 
     def save(self, state: Dict[str, Any], name: str):
+        """Crash-safe save: a preemption mid-save must never corrupt the
+        resume chain (SURVEY §5.3 crash-and-resume is the recovery
+        model). Orbax is atomic by design (tmp dir + rename); the pickle
+        path writes ``.tmp`` then ``os.replace`` so a truncated file is
+        never visible under the final name — which matters doubly for
+        ``model_final``, whose name a restarted run REUSES. The marker
+        update is equally atomic and happens only after the checkpoint
+        is durable."""
         state = _to_numpy(state)
         if self.backend == "orbax":
             path = os.path.abspath(os.path.join(self.save_dir, name + ".orbax"))
@@ -62,11 +70,15 @@ class Checkpointer:
             marker = name + ".orbax"
         else:
             path = os.path.join(self.save_dir, name + ".ckpt")
-            with open(path, "wb") as f:
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
                 pickle.dump(state, f, protocol=4)
+            os.replace(tmp, path)
             marker = name + ".ckpt"
-        with open(os.path.join(self.save_dir, "last_checkpoint"), "w") as f:
+        marker_path = os.path.join(self.save_dir, "last_checkpoint")
+        with open(marker_path + ".tmp", "w") as f:
             f.write(marker)
+        os.replace(marker_path + ".tmp", marker_path)
         return path
 
     def load(self, path: str) -> Dict[str, Any]:

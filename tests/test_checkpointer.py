@@ -1,6 +1,7 @@
 """Checkpointer backends round-trip (pickle + orbax), including the
 optimizer state (momentum buffers) and the last_checkpoint marker."""
 
+import os
 import numpy as np
 import optax
 import pytest
@@ -67,4 +68,37 @@ def test_pickle_readable_after_orbax_switch(tmp_path):
     assert int(old["iteration"]) == 42
     np.testing.assert_allclose(
         np.asarray(old["params"]["layer"]["kernel"]), np.full((3, 4), 1.0)
+    )
+
+
+def test_save_is_crash_safe(tmp_path):
+    """A preemption mid-save must not corrupt the resume chain: the
+    previously saved file under the SAME name (model_final reuse on
+    restart) stays intact and load_latest keeps working."""
+    ck = Checkpointer(str(tmp_path), backend="pickle")
+    ck.save(_state(iteration=7, fill=1.0), "model_final")
+
+    class _Bomb:
+        """Dies when pickle reaches it — simulating a preemption after
+        part of the stream has already been written."""
+
+        def __reduce__(self):
+            raise KeyboardInterrupt("preempted mid-save")
+
+    bad = _state(iteration=8, fill=2.0)
+    bad["params"]["layer"]["bomb"] = _Bomb()
+    try:
+        ck.save(bad, "model_final")
+    except KeyboardInterrupt:
+        pass
+
+    # no partial file visible under the final name; marker still loads
+    latest = ck.load_latest()
+    assert int(latest["iteration"]) == 7
+    np.testing.assert_allclose(
+        np.asarray(latest["params"]["layer"]["kernel"]), np.full((3, 4), 1.0)
+    )
+    # the aborted temp file is the only debris (never the .ckpt itself)
+    assert not any(
+        f.endswith(".ckpt") and "tmp" in f for f in os.listdir(tmp_path)
     )
