@@ -73,12 +73,27 @@ class Checkpointer:
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:
                 pickle.dump(state, f, protocol=4)
+                # fsync before the rename: a journaled rename can land
+                # while the data blocks are still in the page cache —
+                # after an abrupt VM termination the final name would
+                # hold a zero-length file (the preemptible-TPU failure
+                # this path exists for)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp, path)
             marker = name + ".ckpt"
         marker_path = os.path.join(self.save_dir, "last_checkpoint")
         with open(marker_path + ".tmp", "w") as f:
             f.write(marker)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(marker_path + ".tmp", marker_path)
+        # make the renames themselves durable
+        dirfd = os.open(self.save_dir, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         return path
 
     def load(self, path: str) -> Dict[str, Any]:

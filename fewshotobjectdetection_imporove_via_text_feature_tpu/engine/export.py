@@ -86,6 +86,16 @@ def export_inference(
 
     from ..models import build_model
 
+    if cfg.TPU.SPATIAL_PARTITION > 1:
+        # exported programs are single-device StableHLO; accepting the
+        # knob would silently serve unpartitioned (fail-loudly
+        # convention). Spatial partitioning serves through
+        # DefaultPredictor, which holds the live mesh.
+        raise ValueError(
+            "TPU.SPATIAL_PARTITION is not exportable (jax.export emits "
+            "single-device programs); serve spatially-partitioned via "
+            "DefaultPredictor"
+        )
     model = build_model(cfg)
     shapes = _bucket_shapes(buckets or cfg.TPU.IMAGE_BUCKETS)
     platforms = tuple(platforms) if platforms else None
@@ -216,9 +226,13 @@ class ServingPredictor:
         boxes, scores, classes, valid = exp.call(
             self._params, batch.image, batch.hw, batch.orig_hw
         )
-        valid = np.asarray(valid[0])
+        # one round trip for all four outputs (see DefaultPredictor:
+        # per-array fetches pay a full host<->device RTT each)
+        boxes, scores, classes, valid = jax.device_get(
+            (boxes[0], scores[0], classes[0], valid[0])
+        )
         return {
-            "boxes": np.asarray(boxes[0])[valid],
-            "scores": np.asarray(scores[0])[valid],
-            "classes": np.asarray(classes[0])[valid],
+            "boxes": boxes[valid],
+            "scores": scores[valid],
+            "classes": classes[valid],
         }

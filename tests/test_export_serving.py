@@ -159,3 +159,14 @@ def test_batch_mismatch_rejected(artifact):
         save_serving_artifact(p, meta, programs, pred.params)
         with pytest.raises(ValueError, match="batch-1"):
             ServingPredictor(p)
+
+
+def test_spatial_partition_rejected_by_export(artifact):
+    """TPU.SPATIAL_PARTITION must fail loudly: jax.export emits
+    single-device programs, so exporting would silently serve
+    unpartitioned (the knob serves through DefaultPredictor only)."""
+    cfg, pred, _ = artifact
+    cfg2 = cfg.clone()
+    cfg2.TPU.SPATIAL_PARTITION = 2
+    with pytest.raises(ValueError, match="SPATIAL_PARTITION"):
+        export_inference(cfg2, pred.params, batch=1)
