@@ -160,6 +160,9 @@ _C.DATALOADER = CfgNode()
 _C.DATALOADER.NUM_WORKERS = 4
 _C.DATALOADER.ASPECT_RATIO_GROUPING = True
 _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
+# LVIS-style repeat-factor oversampling threshold (d2 default 0.0); only
+# read when SAMPLER_TRAIN == "RepeatFactorTrainingSampler"
+_C.DATALOADER.REPEAT_THRESHOLD = 0.0
 _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
 _C.DATALOADER.NATIVE_IO = True  # C++ jpeg decode/resize core (csrc/)
 

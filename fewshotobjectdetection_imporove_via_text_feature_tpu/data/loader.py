@@ -40,6 +40,41 @@ def get_detection_dataset_dicts(names, filter_empty=True):
     return dicts
 
 
+def repeat_factors_from_category_frequency(dicts, repeat_thresh: float):
+    """Per-image repeat factors for LVIS-style repeat-factor sampling.
+
+    The reference exposes this via DATALOADER.SAMPLER_TRAIN =
+    "RepeatFactorTrainingSampler" (defrcn/dataloader/build.py:301-305,
+    detectron2's implementation of Gupta et al., "LVIS" 2019 §4):
+    f(c) = fraction of images containing category c,
+    r(c) = max(1, sqrt(t / f(c))), r(image) = max over its categories.
+    """
+    n = len(dicts)
+    freq: Dict[object, int] = {}
+    for rec in dicts:
+        for cid in {a["category_id"] for a in rec.get("annotations", [])}:
+            freq[cid] = freq.get(cid, 0) + 1
+    cat_rep = {
+        cid: max(1.0, np.sqrt(repeat_thresh / (cnt / n)))
+        for cid, cnt in freq.items()
+    }
+    return np.asarray(
+        [
+            max(
+                (
+                    cat_rep[cid]
+                    for cid in {
+                        a["category_id"] for a in rec.get("annotations", [])
+                    }
+                ),
+                default=1.0,
+            )
+            for rec in dicts
+        ],
+        np.float64,
+    )
+
+
 def _stack_batch(items: List[Dict]):
     images = ImageBatch(
         image=np.stack([it["image"] for it in items]),
@@ -141,12 +176,36 @@ def build_detection_train_loader(
 
     num_workers = max(1, int(cfg.DATALOADER.NUM_WORKERS))
 
+    sampler_name = cfg.DATALOADER.SAMPLER_TRAIN
+    if sampler_name == "TrainingSampler":
+        repeat_factors = None
+    elif sampler_name == "RepeatFactorTrainingSampler":
+        repeat_factors = repeat_factors_from_category_frequency(
+            dicts, cfg.DATALOADER.REPEAT_THRESHOLD
+        )
+    else:  # same failure mode as the reference (dataloader/build.py:307)
+        raise ValueError(f"Unknown training sampler: {sampler_name}")
+
     def plans():
         """The global stream: (epoch, index, plan) with deterministic
         per-item rngs — identical on every rank."""
         rng = np.random.RandomState(seed)
         for epoch in itertools.count():
-            order = rng.permutation(len(dicts))
+            if repeat_factors is None:
+                order = rng.permutation(len(dicts))
+            else:
+                # d2 RepeatFactorTrainingSampler._get_epoch_indices:
+                # stochastic rounding of the fractional part per epoch,
+                # then a shuffle of the repeated index list. The rng is
+                # the shared stream, so every rank draws the same epoch.
+                rounds = np.floor(repeat_factors).astype(np.int64) + (
+                    rng.random_sample(len(dicts))
+                    < (repeat_factors - np.floor(repeat_factors))
+                )
+                order = rng.permutation(
+                    np.repeat(np.arange(len(dicts)), rounds)
+                )
+            occ: Dict[int, int] = {}
             for i in order:
                 # SeedSequence-mixed per-item stream: a plain linear
                 # combination (seed*K1 + epoch*K2 + i) collides whenever
@@ -154,10 +213,15 @@ def build_detection_train_loader(
                 # epoch e+1 would replay item i+K2's stream from epoch e,
                 # correlating augmentation draws across the run. Pure
                 # function of (seed, epoch, i): identical on every rank.
+                # Repeat-factor duplicates of i within one epoch extend the
+                # key with their occurrence index so each repeat draws
+                # fresh augmentations (k=0 keeps the TrainingSampler
+                # stream unchanged).
+                k = occ.get(int(i), 0)
+                occ[int(i)] = k + 1
+                key = [seed, epoch, int(i)] + ([k] if k else [])
                 r = np.random.RandomState(
-                    np.random.MT19937(
-                        np.random.SeedSequence([seed, epoch, int(i)])
-                    )
+                    np.random.MT19937(np.random.SeedSequence(key))
                 )
                 yield epoch, int(i), mapper.plan(dicts[int(i)], r)
 

@@ -49,7 +49,6 @@ _FIXED_AT_DEFAULT = (
     ("MODEL.ROI_BOX_HEAD.NAME", "FastRCNNConvFCHead"),
     ("INPUT.MIN_SIZE_TRAIN_SAMPLING", "choice"),
     ("INPUT.CROP.ENABLED", False),
-    ("DATALOADER.SAMPLER_TRAIN", "TrainingSampler"),
     ("DATALOADER.ASPECT_RATIO_GROUPING", True),
     ("TEST.AUG.ENABLED", False),
 )
