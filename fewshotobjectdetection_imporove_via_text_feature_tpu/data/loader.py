@@ -169,6 +169,7 @@ def build_detection_train_loader(
         raw_buckets=cfg.TPU.RAW_BUCKETS,
         native_io=cfg.DATALOADER.NATIVE_IO,
         host_s2d=cfg.TPU.HOST_SPACE_TO_DEPTH,
+        sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
     )
     batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
     assert batch_size % world_size == 0, (batch_size, world_size)

@@ -80,11 +80,23 @@ class DatasetMapper:
         raw_buckets: Sequence[Tuple[int, int]] = (),
         native_io: bool = True,
         host_s2d: bool = False,
+        sampling: str = "choice",
     ):
         self.is_train = is_train
         self.min_sizes = (
             list(min_size) if isinstance(min_size, (list, tuple)) else [min_size]
         )
+        # d2 ResizeShortestEdge sample_style: "choice" draws one of the
+        # listed sizes; "range" draws uniformly from [min, max] inclusive
+        # (augmentation_impl.py semantics behind INPUT.MIN_SIZE_TRAIN_SAMPLING)
+        if sampling not in ("choice", "range"):
+            raise ValueError(f"Unknown MIN_SIZE_TRAIN_SAMPLING: {sampling!r}")
+        if sampling == "range" and len(self.min_sizes) != 2:
+            raise ValueError(
+                "range sampling needs MIN_SIZE_TRAIN = (min, max), got "
+                f"{tuple(self.min_sizes)!r}"
+            )
+        self.sampling = sampling
         self.max_size = max_size
         self.buckets = list(buckets)
         self.max_gt = max_gt
@@ -120,11 +132,12 @@ class DatasetMapper:
                         w0, h0 = h0, w0
                 except Exception:
                     pass
-        short = (
-            self.min_sizes[rng.randint(len(self.min_sizes))]
-            if self.is_train
-            else self.min_sizes[0]
-        )
+        if not self.is_train:
+            short = self.min_sizes[0]
+        elif self.sampling == "range":
+            short = int(rng.randint(self.min_sizes[0], self.min_sizes[1] + 1))
+        else:
+            short = self.min_sizes[rng.randint(len(self.min_sizes))]
         flip = bool(self.random_flip and rng.rand() < 0.5)
         nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
         if self.device_preprocess:

@@ -221,6 +221,49 @@ def test_mapper_fixed_shapes(tmp_path):
     assert gb[:, 3].max() <= h + 1e-3
 
 
+def test_mapper_range_sampling(tmp_path):
+    """INPUT.MIN_SIZE_TRAIN_SAMPLING = "range": the short edge draws
+    uniformly from [min, max] inclusive (d2 ResizeShortestEdge
+    sample_style="range")."""
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    mapper = DatasetMapper(
+        is_train=True,
+        min_size=(200, 260),
+        max_size=512,
+        buckets=[(260, 512)],
+        max_gt=10,
+        sampling="range",
+    )
+    rng = np.random.RandomState(0)
+    shorts = {mapper.plan(dicts[0], rng)["short"] for _ in range(200)}
+    assert min(shorts) >= 200 and max(shorts) <= 260
+    assert len(shorts) > 20  # a genuine continuum, not the 2 endpoints
+    # the plan/__call__ rng contract still holds: identically-seeded rngs
+    # produce a plan that __call__ reproduces
+    p = mapper.plan(dicts[0], np.random.RandomState(7))
+    item = mapper(dicts[0], np.random.RandomState(7))
+    assert item["image"].shape == (260, 512, 3)
+    hw = resize_shortest_edge_size(
+        dicts[0]["height"], dicts[0]["width"], p["short"], 512
+    )
+    assert tuple(item["hw"]) == hw
+
+    with pytest.raises(ValueError, match="range sampling"):
+        DatasetMapper(
+            is_train=True, min_size=(200,), max_size=512,
+            buckets=[(260, 512)], sampling="range",
+        )
+    with pytest.raises(ValueError, match="Unknown MIN_SIZE_TRAIN_SAMPLING"):
+        DatasetMapper(
+            is_train=True, min_size=(200, 260), max_size=512,
+            buckets=[(260, 512)], sampling="nope",
+        )
+
+
 def test_coco_meta_partition():
     meta = _get_coco_fewshot_instances_meta()
     assert len(meta["thing_classes"]) == 80
