@@ -145,6 +145,12 @@ def export_inference(
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "jax_version": jax.__version__,
     }
+    try:  # label map for serving responses, when the config resolves one
+        from ..utils.class_name import get_class_name
+
+        meta["class_names"] = list(get_class_name(cfg))
+    except Exception:
+        pass
     return meta, programs
 
 
