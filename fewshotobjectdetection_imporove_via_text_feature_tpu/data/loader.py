@@ -50,9 +50,13 @@ def repeat_factors_from_category_frequency(dicts, repeat_thresh: float):
     r(c) = max(1, sqrt(t / f(c))), r(image) = max over its categories.
     """
     n = len(dicts)
+    rec_cats = [
+        {a["category_id"] for a in rec.get("annotations", [])}
+        for rec in dicts
+    ]
     freq: Dict[object, int] = {}
-    for rec in dicts:
-        for cid in {a["category_id"] for a in rec.get("annotations", [])}:
+    for cats in rec_cats:
+        for cid in cats:
             freq[cid] = freq.get(cid, 0) + 1
     cat_rep = {
         cid: max(1.0, np.sqrt(repeat_thresh / (cnt / n)))
@@ -60,16 +64,8 @@ def repeat_factors_from_category_frequency(dicts, repeat_thresh: float):
     }
     return np.asarray(
         [
-            max(
-                (
-                    cat_rep[cid]
-                    for cid in {
-                        a["category_id"] for a in rec.get("annotations", [])
-                    }
-                ),
-                default=1.0,
-            )
-            for rec in dicts
+            max((cat_rep[cid] for cid in cats), default=1.0)
+            for cats in rec_cats
         ],
         np.float64,
     )

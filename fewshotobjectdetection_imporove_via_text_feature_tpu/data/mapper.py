@@ -91,10 +91,13 @@ class DatasetMapper:
         # (augmentation_impl.py semantics behind INPUT.MIN_SIZE_TRAIN_SAMPLING)
         if sampling not in ("choice", "range"):
             raise ValueError(f"Unknown MIN_SIZE_TRAIN_SAMPLING: {sampling!r}")
-        if sampling == "range" and len(self.min_sizes) != 2:
+        if sampling == "range" and (
+            len(self.min_sizes) != 2
+            or self.min_sizes[0] > self.min_sizes[1]
+        ):
             raise ValueError(
-                "range sampling needs MIN_SIZE_TRAIN = (min, max), got "
-                f"{tuple(self.min_sizes)!r}"
+                "range sampling needs MIN_SIZE_TRAIN = (min, max) with "
+                f"min <= max, got {tuple(self.min_sizes)!r}"
             )
         self.sampling = sampling
         self.max_size = max_size

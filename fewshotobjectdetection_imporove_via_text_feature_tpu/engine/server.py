@@ -6,7 +6,7 @@ caller must embed. A production TPU deployment wants a network-facing
 endpoint; this module wraps either predictor flavor (``DefaultPredictor``
 or ``engine.export.ServingPredictor``) in a dependency-free HTTP service
 (stdlib ``http.server``). Beyond-reference capability; documented in
-docs/migration.md.
+docs/migration_from_reference.md ("Serving").
 
 Endpoints:
     GET  /healthz   liveness + request counter
@@ -93,9 +93,14 @@ class DetectionServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     raw = self.rfile.read(n)
-                    from PIL import Image
+                    from PIL import Image, ImageOps
 
-                    img = Image.open(io.BytesIO(raw)).convert("RGB")
+                    img = Image.open(io.BytesIO(raw))
+                    # apply EXIF orientation like every other decode path
+                    # (data/mapper._open_oriented; the reference's
+                    # cv2.imread applies it too) — phone-camera JPEGs
+                    # would otherwise be detected sideways
+                    img = ImageOps.exif_transpose(img).convert("RGB")
                     bgr = np.asarray(img, np.uint8)[:, :, ::-1]
                 except Exception as e:  # undecodable payload
                     self._json(400, {"error": f"could not decode image: {e}"})
@@ -108,6 +113,13 @@ class DetectionServer:
                     # predictor contract errors (e.g. an artifact missing
                     # the needed bucket) are the client's 422, not a 500
                     self._json(422, {"error": str(e)})
+                    return
+                except Exception as e:  # anything else: an honest 500
+                    # (a raw socketserver traceback closes the connection
+                    # mid-request — curl would see a reset, no error body)
+                    self._json(
+                        500, {"error": f"{type(e).__name__}: {e}"}
+                    )
                     return
                 classes = np.asarray(det["classes"]).tolist()
                 payload = {

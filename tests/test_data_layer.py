@@ -257,6 +257,11 @@ def test_mapper_range_sampling(tmp_path):
             is_train=True, min_size=(200,), max_size=512,
             buckets=[(260, 512)], sampling="range",
         )
+    with pytest.raises(ValueError, match="min <= max"):
+        DatasetMapper(
+            is_train=True, min_size=(260, 200), max_size=512,
+            buckets=[(260, 512)], sampling="range",
+        )
     with pytest.raises(ValueError, match="Unknown MIN_SIZE_TRAIN_SAMPLING"):
         DatasetMapper(
             is_train=True, min_size=(200, 260), max_size=512,

@@ -87,6 +87,45 @@ def test_bad_payload_is_400(served):
     assert "decode" in json.loads(e.value.read())["error"]
 
 
+def test_exif_orientation_applied(served):
+    """Phone-camera JPEGs carry EXIF Orientation; the server must detect
+    on the DISPLAYED pixels like every other decode path in the repo
+    (data/mapper._open_oriented) and the reference's cv2.imread."""
+    pred, server = served
+    rng = np.random.RandomState(2)
+    displayed = rng.randint(0, 256, (100, 150, 3), dtype=np.uint8)
+    # store the image rotated 90° CW with Orientation=6 ("rotate 90 CW to
+    # display"): exif_transpose(stored, o=6) == displayed
+    stored = np.rot90(displayed, k=1)  # CCW: undoes the viewer's CW
+    exif = Image.Exif()
+    exif[0x0112] = 6
+    buf = io.BytesIO()
+    Image.fromarray(stored).save(buf, format="PNG", exif=exif)
+    out = _post(server, buf.getvalue())
+    ref = pred(displayed[:, :, ::-1])
+    np.testing.assert_allclose(out["boxes"], ref["boxes"], rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(out["classes"], ref["classes"])
+
+
+def test_internal_error_is_500(served):
+    """A non-contract predictor failure must come back as an HTTP 500 with
+    a JSON body, not a dropped connection."""
+    _, server = served
+    real = server._predictor
+
+    def boom(_):
+        raise RuntimeError("device exploded")
+
+    server._predictor = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, _png(np.zeros((60, 80, 3), np.uint8)))
+        assert e.value.code == 500
+        assert "device exploded" in json.loads(e.value.read())["error"]
+    finally:
+        server._predictor = real
+
+
 def test_unknown_route_is_404(served):
     _, server = served
     with pytest.raises(urllib.error.HTTPError) as e:
