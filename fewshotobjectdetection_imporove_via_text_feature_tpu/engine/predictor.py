@@ -123,3 +123,50 @@ class DefaultPredictor:
             "scores": scores[valid],
             "classes": classes[valid],
         }
+
+    # batch sizes a grouped program may run at: bounds the number of
+    # compiled specializations (shapes are static under jit) while keeping
+    # pad waste <= 2x; batch-8 inference is ~4x cheaper per image than 8
+    # batch-1 dispatches on the chip (PARITY.md perf notes), which is the
+    # whole point of DetectionServer's dynamic batching
+    BATCH_SIZES = (1, 2, 4, 8)
+
+    def predict_batch(self, original_images):
+        """Batched __call__: one fused program per padded-bucket group.
+
+        Images sharing a padded bucket shape stack into one device program
+        (padded up to the next BATCH_SIZES entry with copies of the last
+        row — same convention as the test loader's trailing batch); groups
+        run sequentially. Results match per-image __call__ exactly.
+        """
+        pre = [
+            preprocess_single_image(self.cfg, im) for im in original_images
+        ]
+        groups = {}
+        for i, b in enumerate(pre):
+            groups.setdefault(b.image.shape[1:], []).append(i)
+        results = [None] * len(pre)
+        for idxs in groups.values():
+            for start in range(0, len(idxs), self.BATCH_SIZES[-1]):
+                chunk = idxs[start : start + self.BATCH_SIZES[-1]]
+                n = len(chunk)
+                m = next(s for s in self.BATCH_SIZES if s >= n)
+                rows = chunk + [chunk[-1]] * (m - n)
+                batch = ImageBatch(
+                    image=np.concatenate([pre[i].image for i in rows]),
+                    hw=np.concatenate([pre[i].hw for i in rows]),
+                    orig_hw=np.concatenate([pre[i].orig_hw for i in rows]),
+                )
+                with self._mesh:
+                    det = self._apply({"params": self.params}, batch)
+                boxes, scores, classes, valid = jax.device_get(
+                    (det.boxes, det.scores, det.classes, det.valid)
+                )
+                for j, i in enumerate(chunk):
+                    v = valid[j]
+                    results[i] = {
+                        "boxes": boxes[j][v],
+                        "scores": scores[j][v],
+                        "classes": classes[j][v],
+                    }
+        return results

@@ -27,6 +27,16 @@ def main():
     ap.add_argument("--config-file", help="config for a live DefaultPredictor")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument(
+        "--max-batch", type=int, default=1,
+        help="dynamic batching: coalesce up to N concurrent requests into "
+        "one device program (live-model backend only; ~4x throughput under "
+        "concurrent load at batch 8)",
+    )
+    ap.add_argument(
+        "--batch-window-ms", type=float, default=5.0,
+        help="how long the dispatcher waits to fill a batch",
+    )
     ap.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
     args = ap.parse_args()
     if bool(args.artifact) == bool(args.config_file):
@@ -85,6 +95,7 @@ def main():
     server = DetectionServer(
         predictor, host=args.host, port=args.port,
         class_names=class_names, meta=meta,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
     )
     print(f"serving on http://{server.host}:{server.port}", flush=True)
     server.serve_forever()
