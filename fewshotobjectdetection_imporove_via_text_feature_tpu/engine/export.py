@@ -72,15 +72,20 @@ def _bucket_shapes(buckets) -> Sequence[Tuple[int, int]]:
 def export_inference(
     cfg,
     params,
-    batch: int = 1,
+    batch=1,
     buckets: Optional[Sequence[Tuple[int, int]]] = None,
     platforms: Optional[Sequence[str]] = None,
 ):
     """Export the fixed-shape inference program for every bucket shape.
 
-    Returns (meta dict, {(bh, bw): serialized bytes}). ``params`` are an
-    ARGUMENT of the exported call (not baked constants) so the weights are
-    stored once, shared across the per-bucket programs.
+    ``batch`` is an int or a sequence of ints: one program per
+    (batch size, bucket shape) pair — multi-batch artifacts let
+    ``ServingPredictor.predict_batch`` (and the HTTP server's dynamic
+    batching) run coalesced requests without a live model.
+
+    Returns (meta dict, {(b, bh, bw): serialized bytes}). ``params`` are
+    an ARGUMENT of the exported call (not baked constants) so the weights
+    are stored once, shared across the per-bucket programs.
     """
     from jax import export as jax_export
 
@@ -117,22 +122,27 @@ def export_inference(
 
     from ..models.backbone import space_to_depth
 
+    batches = sorted(
+        {int(b) for b in (batch if isinstance(batch, (list, tuple)) else [batch])}
+    )
     programs = {}
     with _forced_nms(nms):
-        for bh, bw in shapes:
-            img = np.zeros((batch, bh, bw, 3), np.uint8)
-            if bh % 2 == 0 and bw % 2 == 0:
-                # the loader/predictor transport layout (host s2d)
-                img = np.stack([space_to_depth(im) for im in img])
-            hw = np.full((batch, 2), (bh, bw), np.int32)
-            exp = jax_export.export(
-                jax.jit(apply_fn),
-                **({"platforms": platforms} if platforms else {}),
-            )(params, img, hw, hw)
-            programs[(bh, bw)] = exp.serialize()
+        for b in batches:
+            for bh, bw in shapes:
+                img = np.zeros((b, bh, bw, 3), np.uint8)
+                if bh % 2 == 0 and bw % 2 == 0:
+                    # the loader/predictor transport layout (host s2d)
+                    img = np.stack([space_to_depth(im) for im in img])
+                hw = np.full((b, 2), (bh, bw), np.int32)
+                exp = jax_export.export(
+                    jax.jit(apply_fn),
+                    **({"platforms": platforms} if platforms else {}),
+                )(params, img, hw, hw)
+                programs[(b, bh, bw)] = exp.serialize()
 
     meta = {
-        "batch": batch,
+        "batch": batches[0],  # pre-multi-batch readers
+        "batches": batches,
         "buckets": [list(s) for s in shapes],
         "input_format": cfg.INPUT.FORMAT,
         "min_size_test": int(
@@ -161,12 +171,16 @@ def save_serving_artifact(path: str, meta: dict, programs: dict, params):
         buf = io.BytesIO()
         pickle.dump(params_np, buf)
         z.writestr("params.pkl", buf.getvalue())
-        for (bh, bw), ser in programs.items():
-            z.writestr(f"{_PROGRAM_DIR}/{bh}x{bw}.shlo", ser)
+        for key, ser in programs.items():
+            b, bh, bw = key if len(key) == 3 else (meta["batch"], *key)
+            z.writestr(f"{_PROGRAM_DIR}/b{b}_{bh}x{bw}.shlo", ser)
 
 
 def load_serving_artifact(path: str):
-    """-> (meta, params, {(bh, bw): jax.export.Exported})."""
+    """-> (meta, params, {(b, bh, bw): jax.export.Exported}).
+
+    Reads both program-name forms: ``b{N}_{H}x{W}.shlo`` (multi-batch) and
+    the pre-multi-batch ``{H}x{W}.shlo`` (batch from meta["batch"])."""
     from jax import export as jax_export
 
     with zipfile.ZipFile(path) as z:
@@ -175,10 +189,18 @@ def load_serving_artifact(path: str):
         programs = {}
         for name in z.namelist():
             if name.startswith(_PROGRAM_DIR + "/") and name.endswith(".shlo"):
-                bh, bw = name[len(_PROGRAM_DIR) + 1 : -5].split("x")
-                programs[(int(bh), int(bw))] = jax_export.deserialize(
+                stem = name[len(_PROGRAM_DIR) + 1 : -5]
+                if stem.startswith("b") and "_" in stem:
+                    bpart, stem = stem.split("_", 1)
+                    b = int(bpart[1:])
+                else:
+                    b = int(meta["batch"])
+                bh, bw = stem.split("x")
+                programs[(b, int(bh), int(bw))] = jax_export.deserialize(
                     z.read(name)
                 )
+    if "batches" not in meta:
+        meta["batches"] = sorted({k[0] for k in programs}) or [meta["batch"]]
     return meta, params, programs
 
 
@@ -190,7 +212,7 @@ class ServingPredictor:
         self.meta, self._params, self._programs = load_serving_artifact(
             artifact_path
         )
-        if self.meta["batch"] != 1:
+        if 1 not in self.meta["batches"]:
             raise ValueError(
                 f"single-image ServingPredictor needs a batch-1 artifact; "
                 f"this one was exported at batch {self.meta['batch']}"
@@ -211,34 +233,72 @@ class ServingPredictor:
 
         self._cfg = _Cfg
 
-    def __call__(self, original_image: np.ndarray):
-        from .predictor import preprocess_single_image
-
-        batch = preprocess_single_image(self._cfg, original_image)
-        # padded shape keys the program; s2d'd inputs are (H/2, W/2, 12)
-        h, w = batch.image.shape[1:3]
-        if batch.image.shape[-1] == 12:
+    def _program_for(self, image_shape, batch: int):
+        """Padded-image shape + batch size -> Exported, or a contract
+        error naming what's missing."""
+        h, w = image_shape[:2]
+        if len(image_shape) == 3 and image_shape[-1] == 12:  # host s2d
             h, w = 2 * h, 2 * w
-        if (h, w) not in self._programs:
+        key = (batch, h, w)
+        if key not in self._programs:
             # pick_bucket's round-up-to-64 fallback produced a shape the
             # artifact was not exported for (image larger than every bucket)
             raise ValueError(
-                f"image of shape {original_image.shape[:2]} needs padded "
-                f"bucket {(h, w)}, but the artifact only contains "
-                f"{sorted(self._programs)} — re-export with a covering "
-                "TPU.IMAGE_BUCKETS"
+                f"no exported program for padded bucket {(h, w)} at batch "
+                f"{batch}; the artifact contains {sorted(self._programs)} — "
+                "re-export with covering TPU.IMAGE_BUCKETS / --batches"
             )
-        exp = self._programs[(h, w)]
+        return self._programs[key]
+
+    def _run(self, exp, batch):
         boxes, scores, classes, valid = exp.call(
             self._params, batch.image, batch.hw, batch.orig_hw
         )
         # one round trip for all four outputs (see DefaultPredictor:
         # per-array fetches pay a full host<->device RTT each)
-        boxes, scores, classes, valid = jax.device_get(
-            (boxes[0], scores[0], classes[0], valid[0])
-        )
+        return jax.device_get((boxes, scores, classes, valid))
+
+    def __call__(self, original_image: np.ndarray):
+        from .predictor import preprocess_single_image
+
+        batch = preprocess_single_image(self._cfg, original_image)
+        exp = self._program_for(batch.image.shape[1:], 1)
+        boxes, scores, classes, valid = self._run(exp, batch)
         return {
-            "boxes": boxes[valid],
-            "scores": scores[valid],
-            "classes": classes[valid],
+            "boxes": boxes[0][valid[0]],
+            "scores": scores[0][valid[0]],
+            "classes": classes[0][valid[0]],
         }
+
+    def predict_batch(self, original_images):
+        """Batched serving from a multi-batch artifact (exported with
+        --batches, e.g. 1,8): requests group by padded bucket and run at
+        the smallest exported batch size that fits (replicated-row
+        padding), enabling the HTTP server's dynamic batching without a
+        live model. Artifacts holding only batch-1 programs still work —
+        every request just runs alone."""
+        from .predictor import preprocess_single_image, run_grouped
+
+        pre = [
+            preprocess_single_image(self._cfg, im) for im in original_images
+        ]
+
+        def sizes_fn(shape):
+            h, w = shape[:2]
+            if len(shape) == 3 and shape[-1] == 12:
+                h, w = 2 * h, 2 * w
+            sizes = sorted(
+                b for (b, bh, bw) in self._programs if (bh, bw) == (h, w)
+            )
+            return sizes or (1,)  # _program_for raises the contract error
+
+        return run_grouped(
+            pre,
+            sizes_fn,
+            lambda batch: self._run(
+                self._program_for(
+                    batch.image.shape[1:], batch.image.shape[0]
+                ),
+                batch,
+            ),
+        )

@@ -137,36 +137,55 @@ class DefaultPredictor:
         Images sharing a padded bucket shape stack into one device program
         (padded up to the next BATCH_SIZES entry with copies of the last
         row — same convention as the test loader's trailing batch); groups
-        run sequentially. Results match per-image __call__ exactly.
+        run sequentially. Results match per-image __call__ up to near-tied
+        NMS ordering (different batch = different compiled program).
         """
-        pre = [
-            preprocess_single_image(self.cfg, im) for im in original_images
-        ]
-        groups = {}
-        for i, b in enumerate(pre):
-            groups.setdefault(b.image.shape[1:], []).append(i)
-        results = [None] * len(pre)
-        for idxs in groups.values():
-            for start in range(0, len(idxs), self.BATCH_SIZES[-1]):
-                chunk = idxs[start : start + self.BATCH_SIZES[-1]]
-                n = len(chunk)
-                m = next(s for s in self.BATCH_SIZES if s >= n)
-                rows = chunk + [chunk[-1]] * (m - n)
-                batch = ImageBatch(
-                    image=np.concatenate([pre[i].image for i in rows]),
-                    hw=np.concatenate([pre[i].hw for i in rows]),
-                    orig_hw=np.concatenate([pre[i].orig_hw for i in rows]),
-                )
-                with self._mesh:
-                    det = self._apply({"params": self.params}, batch)
-                boxes, scores, classes, valid = jax.device_get(
-                    (det.boxes, det.scores, det.classes, det.valid)
-                )
-                for j, i in enumerate(chunk):
-                    v = valid[j]
-                    results[i] = {
-                        "boxes": boxes[j][v],
-                        "scores": scores[j][v],
-                        "classes": classes[j][v],
-                    }
-        return results
+
+        def run(batch):
+            with self._mesh:
+                det = self._apply({"params": self.params}, batch)
+            return jax.device_get(
+                (det.boxes, det.scores, det.classes, det.valid)
+            )
+
+        return run_grouped(
+            [preprocess_single_image(self.cfg, im) for im in original_images],
+            lambda shape: self.BATCH_SIZES,
+            run,
+        )
+
+
+def run_grouped(pre, sizes_fn, run):
+    """Shared batching core for both predictor flavors.
+
+    pre: batch-1 ``ImageBatch`` per request; ``sizes_fn(padded_shape)`` ->
+    ascending runnable batch sizes for that bucket; ``run(ImageBatch[m])``
+    -> numpy (boxes, scores, classes, valid). Chunks each bucket group to
+    the largest size, pads to the smallest size >= n with replicated rows,
+    and unpacks per-request detection dicts in input order.
+    """
+    groups = {}
+    for i, b in enumerate(pre):
+        groups.setdefault(b.image.shape[1:], []).append(i)
+    results = [None] * len(pre)
+    for shape, idxs in groups.items():
+        sizes = tuple(sizes_fn(shape))
+        for start in range(0, len(idxs), sizes[-1]):
+            chunk = idxs[start : start + sizes[-1]]
+            n = len(chunk)
+            m = next(s for s in sizes if s >= n)
+            rows = chunk + [chunk[-1]] * (m - n)
+            batch = ImageBatch(
+                image=np.concatenate([pre[i].image for i in rows]),
+                hw=np.concatenate([pre[i].hw for i in rows]),
+                orig_hw=np.concatenate([pre[i].orig_hw for i in rows]),
+            )
+            boxes, scores, classes, valid = run(batch)
+            for j, i in enumerate(chunk):
+                v = valid[j]
+                results[i] = {
+                    "boxes": boxes[j][v],
+                    "scores": scores[j][v],
+                    "classes": classes[j][v],
+                }
+    return results

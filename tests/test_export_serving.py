@@ -45,11 +45,62 @@ def artifact(tmp_path_factory):
 def test_artifact_contents(artifact):
     _, _, path = artifact
     meta, params, programs = load_serving_artifact(path)
-    # both orientations of the configured bucket
-    assert set(programs) == {(128, 192), (192, 128)}
+    # both orientations of the configured bucket, keyed (batch, h, w)
+    assert set(programs) == {(1, 128, 192), (1, 192, 128)}
+    assert meta["batches"] == [1]
     assert meta["input_format"] == "BGR"
     assert meta["min_size_test"] == 96 and meta["max_size_test"] == 192
     assert any(k.startswith("backbone") for k in params)
+
+
+def test_legacy_program_names_load(artifact, tmp_path):
+    """Pre-multi-batch artifacts named programs {H}x{W}.shlo with the
+    batch only in meta — they must keep loading (batch from meta)."""
+    import zipfile
+
+    _, _, path = artifact
+    legacy = str(tmp_path / "legacy.fsodtf")
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(legacy, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name.startswith("programs/b1_"):
+                name = "programs/" + name[len("programs/b1_"):]
+            if name == "meta.json":
+                import json as _json
+
+                m = _json.loads(data)
+                m.pop("batches")
+                data = _json.dumps(m)
+            dst.writestr(name, data)
+    meta, _, programs = load_serving_artifact(legacy)
+    assert set(programs) == {(1, 128, 192), (1, 192, 128)}
+    assert meta["batches"] == [1]
+    serving = ServingPredictor(legacy)
+    img = np.random.RandomState(0).randint(0, 256, (100, 150, 3), np.uint8)
+    serving(img)  # serves
+
+
+def test_multibatch_artifact_predict_batch(artifact, tmp_path):
+    """--batches 1,4 artifacts serve coalesced requests: predict_batch
+    groups by bucket and runs the smallest exported batch that fits;
+    results set-match the per-image path."""
+    from test_server import assert_detections_setmatch
+
+    cfg, pred, _ = artifact
+    meta, programs = export_inference(cfg, pred.params, batch=(1, 4))
+    assert meta["batches"] == [1, 4]
+    assert len(programs) == 4  # 2 buckets x 2 batch sizes
+    p = str(tmp_path / "mb.fsodtf")
+    save_serving_artifact(p, meta, programs, pred.params)
+    serving = ServingPredictor(p)
+    rng = np.random.RandomState(9)
+    imgs = [
+        rng.randint(0, 256, hw + (3,), dtype=np.uint8)
+        for hw in [(100, 150), (150, 100), (90, 140)]
+    ]
+    outs = serving.predict_batch(imgs)
+    for im, out in zip(imgs, outs):
+        assert_detections_setmatch(out, serving(im))
 
 
 @pytest.mark.parametrize("hw0", [(100, 150), (150, 100)])
@@ -75,7 +126,7 @@ def test_uncovered_bucket_rejected(artifact):
     # max_size_test=192 caps the long side, so only the fallback path via a
     # tiny bucket list can trip — simulate by shrinking the program table.
     serving._programs = {
-        k: v for k, v in serving._programs.items() if k == (192, 128)
+        k: v for k, v in serving._programs.items() if k == (1, 192, 128)
     }
     img = np.zeros((100, 150, 3), np.uint8)  # needs (128, 192)
     with pytest.raises(ValueError, match="re-export"):

@@ -282,7 +282,7 @@ def test_artifact_backed_server(tmp_path):
         )
         # drop the needed bucket: the predictor's ValueError -> 422
         serving._programs = {
-            k: v for k, v in serving._programs.items() if k == (192, 128)
+            k: v for k, v in serving._programs.items() if k == (1, 192, 128)
         }
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server, _png(rgb))

@@ -38,7 +38,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config-file", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument(
+        "--batches", default="1",
+        help="comma list of batch sizes to export programs for (e.g. "
+        "'1,8'); multi-batch artifacts enable ServingPredictor."
+        "predict_batch / the HTTP server's --max-batch",
+    )
     ap.add_argument(
         "--platforms", default="",
         help="comma list (e.g. 'tpu,cpu') for a multi-platform artifact; "
@@ -70,14 +75,15 @@ def main():
         tuple(p.strip() for p in args.platforms.split(",") if p.strip())
         or None
     )
+    batches = [int(b) for b in args.batches.split(",") if b.strip()]
     meta, programs = export_inference(
-        cfg, params, batch=args.batch, platforms=platforms
+        cfg, params, batch=batches, platforms=platforms
     )
     save_serving_artifact(args.output, meta, programs, params)
     mb = os.path.getsize(args.output) / 1e6
     print(
-        f"wrote {args.output} ({mb:.1f} MB): {len(programs)} bucket "
-        f"programs x batch {args.batch}, platforms {meta['platforms']}"
+        f"wrote {args.output} ({mb:.1f} MB): {len(programs)} programs "
+        f"(batches {meta['batches']}), platforms {meta['platforms']}"
     )
 
 
