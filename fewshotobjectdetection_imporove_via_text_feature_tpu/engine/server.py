@@ -64,6 +64,7 @@ class DetectionServer:
         meta: Optional[dict] = None,
         max_batch: int = 1,
         batch_window_ms: float = 5.0,
+        max_body_bytes: int = 64 << 20,
     ):
         self._predictor = predictor
         self._lock = threading.Lock()
@@ -72,6 +73,7 @@ class DetectionServer:
         self._meta = dict(meta or {})
         self._max_batch = int(max_batch)
         self._window_s = batch_window_ms / 1e3
+        self._max_body = int(max_body_bytes)
         if self._max_batch > 1 and not hasattr(predictor, "predict_batch"):
             raise ValueError(
                 f"max_batch={max_batch} needs a predictor with "
@@ -88,6 +90,10 @@ class DetectionServer:
         outer = self
 
         class _Handler(BaseHTTPRequestHandler):
+            # a stalled/byte-dripping client must not pin a handler thread
+            # forever
+            timeout = 60.0
+
             # stdlib default logs every request to stderr; route through
             # our logger-free counter instead (the access log is the
             # caller's concern)
@@ -120,8 +126,17 @@ class DetectionServer:
                 if self.path != "/detect":
                     self._json(404, {"error": f"no route {self.path!r}"})
                     return
+                n = int(self.headers.get("Content-Length", 0))
+                if n > outer._max_body:
+                    # reject before reading: an oversized body must not
+                    # be buffered into memory at all
+                    self._json(
+                        413,
+                        {"error": f"body of {n} bytes exceeds the "
+                         f"{outer._max_body}-byte limit"},
+                    )
+                    return
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
                     raw = self.rfile.read(n)
                     from PIL import Image, ImageOps
 

@@ -126,6 +126,19 @@ def test_internal_error_is_500(served):
         server._predictor = real
 
 
+def test_oversized_body_is_413():
+    server = DetectionServer(
+        lambda im: {}, port=0, max_body_bytes=1000
+    ).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, b"x" * 2000)
+        assert e.value.code == 413
+        assert "limit" in json.loads(e.value.read())["error"]
+    finally:
+        server.stop()
+
+
 def test_unknown_route_is_404(served):
     _, server = served
     with pytest.raises(urllib.error.HTTPError) as e:
