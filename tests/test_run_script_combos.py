@@ -339,7 +339,9 @@ def test_fixed_architecture_keys_fail_loudly():
         "MODEL.MASK_ON": "True",
         "MODEL.RESNETS.NUM_GROUPS": "32",
         "MODEL.RESNETS.NORM": "GN",
-        "INPUT.MIN_SIZE_TRAIN_SAMPLING": "range",
+        # (INPUT.MIN_SIZE_TRAIN_SAMPLING=range and DATALOADER.SAMPLER_TRAIN
+        # left this table when they were implemented — mapper/loader tests)
+        "MODEL.LOAD_PROPOSALS": "True",
         "TEST.AUG.ENABLED": "True",
     }
     for key, val in overrides.items():
