@@ -46,6 +46,8 @@ class Checkpointer:
         self.backend = backend
         os.makedirs(save_dir, exist_ok=True)
         self._orbax = None
+        self._writer = None  # lazy single-thread executor for save_async
+        self._pending = None
 
     def _orbax_ckpt(self):
         if self._orbax is None:
@@ -96,13 +98,49 @@ class Checkpointer:
             os.close(dirfd)
         return path
 
+    def save_async(self, state: Dict[str, Any], name: str):
+        """Non-blocking ``save``: the host materialization happens here
+        (so the caller's device buffers may be donated immediately after
+        return), but pickling/serialization, fsync, and the marker rename
+        run on a single background writer thread — the train loop overlaps
+        disk IO with the next device steps instead of stalling.
+
+        Writes stay strictly ordered (one writer thread); each call first
+        drains the previous write so at most one checkpoint is in flight
+        and any IO error surfaces on the NEXT save (or on ``wait()``).
+        Crash safety is unchanged: every write is tmp+rename+fsync, so a
+        kill mid-background-write never corrupts the resume chain. The
+        reference has no analog (fvcore saves synchronously in-loop).
+
+        Contract: jax.Array leaves are materialized to host HERE (device
+        buffers are free to be donated after return); plain numpy leaves
+        are NOT copied — the caller must not mutate them until the write
+        drains (the Trainer passes fresh ``device_get`` output it drops)."""
+        state = _to_numpy(state)
+        self.wait()
+        if self._writer is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._writer = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer"
+            )
+        self._pending = self._writer.submit(self.save, state, name)
+
+    def wait(self):
+        """Drain any in-flight ``save_async`` write; re-raise its error."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
     def load(self, path: str) -> Dict[str, Any]:
         return load_checkpoint_file(path)
 
     def has_checkpoint(self) -> bool:
+        self.wait()
         return os.path.exists(os.path.join(self.save_dir, "last_checkpoint"))
 
     def load_latest(self) -> Optional[Dict[str, Any]]:
+        self.wait()
         marker = os.path.join(self.save_dir, "last_checkpoint")
         if not os.path.exists(marker):
             return None

@@ -247,6 +247,9 @@ _C.TPU.PROFILE_START_STEP = -1   # step to start a jax.profiler trace (-1 off)
 _C.TPU.PROFILE_NUM_STEPS = 5
 _C.TPU.DEBUG_NANS = False        # jax debug_nans mode (slow; debugging only)
 _C.TPU.CHECKPOINT_BACKEND = "pickle"  # pickle | orbax
+# overlap checkpoint serialization+fsync with training (device_get stays
+# synchronous; writes remain ordered + crash-safe; train() drains at exit)
+_C.TPU.ASYNC_CHECKPOINT = True
 # ROIs per unrolled ROIAlign->res5 chunk (0 = no chunking; ~5% faster at
 # inference but raises peak HBM — measured safe at batch 8 bf16)
 _C.TPU.ROI_CHUNK = 256

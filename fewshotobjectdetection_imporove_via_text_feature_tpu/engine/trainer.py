@@ -442,6 +442,10 @@ class Trainer:
             jax.profiler.stop_trace()
         self.params = params
         self.save(self.params, self.max_iter - 1, name="model_final")
+        # train() must not return before every checkpoint is durable on
+        # disk (callers read model_final right after; multi-host smokes
+        # stat the files) — drain the async writer.
+        self.checkpointer.wait()
         return self.params
 
     def save(self, params, iteration, name=None):
@@ -452,14 +456,19 @@ class Trainer:
             # assembles the global value; lifting that restriction needs
             # a gather-on-save here.
             return
-        self.checkpointer.save(
-            {
-                "params": jax.device_get(params),
-                "opt_state": jax.device_get(self.opt_state),
-                "iteration": iteration,
-            },
-            name=name or f"model_{iteration:07d}",
-        )
+        state = {
+            # device_get stays synchronous (the step donates these buffers
+            # next iteration — the snapshot must complete first); only the
+            # serialization + fsync move off-thread under ASYNC_CHECKPOINT
+            "params": jax.device_get(params),
+            "opt_state": jax.device_get(self.opt_state),
+            "iteration": iteration,
+        }
+        name = name or f"model_{iteration:07d}"
+        if self.cfg.TPU.ASYNC_CHECKPOINT:
+            self.checkpointer.save_async(state, name)
+        else:
+            self.checkpointer.save(state, name)
 
     def test(self, cfg=None, params=None):
         """Evaluate on cfg.DATASETS.TEST — DefaultTrainer.test parity

@@ -102,3 +102,45 @@ def test_save_is_crash_safe(tmp_path):
     assert not any(
         f.endswith(".ckpt") and "tmp" in f for f in os.listdir(tmp_path)
     )
+
+
+def test_save_async_roundtrip_ordered(tmp_path):
+    """save_async drains to the same on-disk artifacts as save: two
+    back-to-back async saves land in order, the marker tracks the last,
+    and load_latest (which drains the writer) sees the final state."""
+    ck = Checkpointer(str(tmp_path), backend="pickle")
+    ck.save_async(_state(iteration=1, fill=1.0), "model_0000001")
+    ck.save_async(_state(iteration=2, fill=2.0), "model_0000002")
+    latest = ck.load_latest()  # implicit wait()
+    assert int(latest["iteration"]) == 2
+    np.testing.assert_allclose(
+        np.asarray(latest["params"]["layer"]["kernel"]), np.full((3, 4), 2.0)
+    )
+    # both checkpoints durable, no temp debris
+    files = sorted(os.listdir(tmp_path))
+    assert "model_0000001.ckpt" in files and "model_0000002.ckpt" in files
+    assert not any(".tmp" in f for f in files)
+    # the earlier write is the earlier state (ordering, not last-wins)
+    first = ck.load(os.path.join(str(tmp_path), "model_0000001.ckpt"))
+    assert int(first["iteration"]) == 1
+
+
+def test_save_async_surfaces_write_errors(tmp_path):
+    """An IO failure on the background writer must not be silent: it
+    re-raises on the next save_async()/wait() so the run dies instead of
+    training on while producing no checkpoints."""
+    ck = Checkpointer(str(tmp_path), backend="pickle")
+
+    class _Bomb:
+        def __reduce__(self):
+            raise OSError("disk full")
+
+    bad = _state(iteration=1)
+    bad["params"]["layer"]["bomb"] = _Bomb()
+    ck.save_async(bad, "model_0000001")
+    with pytest.raises(OSError, match="disk full"):
+        ck.wait()
+    # the writer recovers: a subsequent good save works
+    ck.save_async(_state(iteration=2, fill=3.0), "model_0000002")
+    ck.wait()
+    assert int(ck.load_latest()["iteration"]) == 2
