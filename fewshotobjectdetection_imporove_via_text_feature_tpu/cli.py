@@ -352,6 +352,10 @@ def main():
         )
 
     params = trainer.train()
+    if getattr(trainer, "preempted", False):
+        # SIGTERM mid-training: a resumable checkpoint was saved; skip the
+        # final eval so the process yields the machine promptly
+        return None
     if cfg.DATASETS.TEST:
         return do_test(cfg, params=params, model=trainer.model)
 

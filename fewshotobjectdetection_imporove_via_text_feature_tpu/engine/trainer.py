@@ -330,6 +330,27 @@ class Trainer:
         t_last = time.time()
         params = self.params
 
+        # Graceful preemption (beyond reference parity — SURVEY §5.3: the
+        # reference is crash-and-resume only): SIGTERM (what preemptible
+        # TPU VMs / cluster schedulers send) sets a flag; the loop saves a
+        # resumable checkpoint at the end of the current iteration and
+        # exits cleanly instead of dying mid-step and losing everything
+        # since the last CHECKPOINT_PERIOD. Multi-host: every process must
+        # receive the signal (the standard preemption contract) — a
+        # partially-delivered TERM leaves peers at the next collective,
+        # the same failure mode as a crash, recoverable by restart.
+        self.preempted = False
+        prev_handler = None
+        try:
+            import signal
+
+            def _on_term(signum, frame):
+                self.preempted = True
+
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:
+            pass  # not the main thread (e.g. a test harness): no handler
+
         # Upload batches to the device from a prefetch thread so
         # host->device transfer overlaps the in-flight steps (the step
         # loop only syncs on losses every 20 iterations). Behind the dev
@@ -435,13 +456,33 @@ class Trainer:
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
                 profiling = False
+            if self.preempted:
+                # end-of-iteration boundary: params/opt_state are a
+                # consistent post-step state — save it and stop. Resume
+                # restarts at it+1 (same contract as periodic saves).
+                self.save(params, it)
+                self.checkpointer.wait()
+                from ..utils.events import logger as _log
+
+                _log.info(
+                    "SIGTERM: checkpoint saved at iteration %d; "
+                    "restart with --resume to continue", it,
+                )
+                break
             it += 1
 
         if profiling:  # window extended past max_iter (or NUM_STEPS <= 0)
             jax.block_until_ready(losses)
             jax.profiler.stop_trace()
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         self.params = params
-        self.save(self.params, self.max_iter - 1, name="model_final")
+        if not self.preempted:
+            # a preempted run must NOT write model_final — that name means
+            # "training completed" to the workflow scripts and eval
+            self.save(self.params, self.max_iter - 1, name="model_final")
         # train() must not return before every checkpoint is durable on
         # disk (callers read model_final right after; multi-host smokes
         # stat the files) — drain the async writer.

@@ -254,3 +254,50 @@ def test_cli_end_to_end_with_log_contract(tmp_path):
     leg2 = [l for l in log2 if "iter 3" in l]
     assert leg2, log2[-5:]
     assert sum("iter 0 " in l for l in log2) == 1, log2
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(shared_tmp, tmp_path):
+    """Graceful preemption (beyond reference parity, SURVEY §5.3): SIGTERM
+    mid-training saves a resumable checkpoint at the end of the current
+    iteration, skips model_final, and a --resume restart continues from
+    the saved iteration to completion."""
+    import signal
+
+    setup_dataset(str(shared_tmp))
+    cfg = tiny_cfg(shared_tmp)
+    cfg.OUTPUT_DIR = str(tmp_path / "preempt_out")
+    cfg.SOLVER.MAX_ITER = 6
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.engine import (
+        Trainer,
+    )
+
+    trainer = Trainer(cfg)
+
+    def preempt_at_1(it, params):
+        if it == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    trainer.hooks.append(preempt_at_1)
+    trainer.train()
+
+    assert trainer.preempted
+    # resumable checkpoint at the preempted iteration; NO model_final
+    # (that name means "training completed" to the workflow scripts)
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "model_0000001.ckpt"))
+    assert not os.path.exists(os.path.join(cfg.OUTPUT_DIR, "model_final.ckpt"))
+    with open(os.path.join(cfg.OUTPUT_DIR, "model_0000001.ckpt"), "rb") as f:
+        assert pickle.load(f)["iteration"] == 1
+    # the default handler is restored after train() returns
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    # restart: resumes at iter 2, runs to completion, writes model_final
+    trainer2 = Trainer(cfg)
+    trainer2.resume_or_load(resume=True)
+    assert trainer2.start_iter == 2
+    trainer2.train()
+    assert not trainer2.preempted
+    final = os.path.join(cfg.OUTPUT_DIR, "model_final.ckpt")
+    assert os.path.exists(final)
+    with open(final, "rb") as f:
+        assert pickle.load(f)["iteration"] == cfg.SOLVER.MAX_ITER - 1
