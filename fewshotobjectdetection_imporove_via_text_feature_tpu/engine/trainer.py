@@ -382,111 +382,138 @@ class Trainer:
         profiling = False  # a resume can land INSIDE the window: stop only
         # if this run actually started a trace
 
-        while it < self.max_iter:
-            if it == profile_start:
-                jax.profiler.start_trace(
-                    os.path.join(cfg.OUTPUT_DIR, "profile")
-                )
-                profiling = True
-            images_d, gt_d, meta, extras = next(data_iter)
-
-            if cfg.TPU.DEVICE_PREPROCESS:
-                key = tuple(meta["target_hw"])
-                fn = self._raw_steps.get(key)
-                if fn is None:
-                    fn = self._jit_step(
-                        make_train_step(
-                            self.model, self.tx,
-                            preprocess=(cfg.INPUT.MAX_SIZE_TRAIN, key),
-                        )
+        # The loop runs under try/finally: if it raises and the caller
+        # catches, the process must not be left with _on_term installed
+        # (future SIGTERMs would only set a flag on an abandoned trainer,
+        # making the process non-terminable by SIGTERM) nor with undrained
+        # async checkpoint writes.
+        try:
+            while it < self.max_iter:
+                if it == profile_start:
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.OUTPUT_DIR, "profile")
                     )
-                    self._raw_steps[key] = fn
-                short_d, flip_d = extras
-                step_args = (
-                    params, self.opt_state, images_d, gt_d, rng, it,
-                    short_d, flip_d,
-                )
-            else:
-                fn = self._train_step
-                step_args = (params, self.opt_state, images_d, gt_d, rng, it)
+                    profiling = True
+                images_d, gt_d, meta, extras = next(data_iter)
 
-            if (
-                it == self.start_iter
-                and jax.process_count() > 1
-                and jax.default_backend() == "cpu"
-            ):
-                # CPU multi-process: the step's psum runs over gloo, whose
-                # communicator init at the FIRST execution has a ~30 s
-                # connect window — easily blown by cross-rank compile-time
-                # skew. Compile first (no execution; the dispatch-path
-                # recompile reloads from the persistent cache), then
-                # rendezvous so all ranks execute the first collective
-                # together. See parallel.mesh.coordination_barrier.
-                from ..parallel import coordination_barrier
+                if cfg.TPU.DEVICE_PREPROCESS:
+                    key = tuple(meta["target_hw"])
+                    fn = self._raw_steps.get(key)
+                    if fn is None:
+                        fn = self._jit_step(
+                            make_train_step(
+                                self.model, self.tx,
+                                preprocess=(cfg.INPUT.MAX_SIZE_TRAIN, key),
+                            )
+                        )
+                        self._raw_steps[key] = fn
+                    short_d, flip_d = extras
+                    step_args = (
+                        params, self.opt_state, images_d, gt_d, rng, it,
+                        short_d, flip_d,
+                    )
+                else:
+                    fn = self._train_step
+                    step_args = (params, self.opt_state, images_d, gt_d, rng, it)
 
-                fn.lower(*step_args).compile()
-                coordination_barrier("fsodtf/train_step0")
+                if (
+                    it == self.start_iter
+                    and jax.process_count() > 1
+                    and jax.default_backend() == "cpu"
+                ):
+                    # CPU multi-process: the step's psum runs over gloo, whose
+                    # communicator init at the FIRST execution has a ~30 s
+                    # connect window — easily blown by cross-rank compile-time
+                    # skew. Compile first (no execution; the dispatch-path
+                    # recompile reloads from the persistent cache), then
+                    # rendezvous so all ranks execute the first collective
+                    # together. See parallel.mesh.coordination_barrier.
+                    from ..parallel import coordination_barrier
 
-            params, self.opt_state, losses = fn(*step_args)
+                    fn.lower(*step_args).compile()
+                    coordination_barrier("fsodtf/train_step0")
 
-            if it % 20 == 0 or it == self.max_iter - 1:
-                losses = {k: float(v) for k, v in losses.items()}
-                dt = time.time() - t_last
-                t_last = time.time()
-                lr = float(self.schedule(it))
-                self.metrics.log(
-                    it,
-                    {**losses, "lr": lr, "time_per_20iter": dt},
-                )
+                params, self.opt_state, losses = fn(*step_args)
 
-            if (
-                cfg.SOLVER.CHECKPOINT_PERIOD > 0
-                and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0
-            ):
-                self.save(params, it)
+                if it % 20 == 0 or it == self.max_iter - 1:
+                    losses = {k: float(v) for k, v in losses.items()}
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    lr = float(self.schedule(it))
+                    self.metrics.log(
+                        it,
+                        {**losses, "lr": lr, "time_per_20iter": dt},
+                    )
 
-            # keep self.params pointing at LIVE buffers: the loop-local
-            # `params` the step returned (its input was donated/deleted) —
-            # a hook calling trainer.test() mid-training must not see the
-            # pre-step donated array
-            self.params = params
-            for hook in self.hooks:
-                hook(it, params)
-            if it + 1 == profile_stop and profiling:
+                if (
+                    cfg.SOLVER.CHECKPOINT_PERIOD > 0
+                    and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                ):
+                    self.save(params, it)
+
+                # keep self.params pointing at LIVE buffers: the loop-local
+                # `params` the step returned (its input was donated/deleted) —
+                # a hook calling trainer.test() mid-training must not see the
+                # pre-step donated array
+                self.params = params
+                for hook in self.hooks:
+                    hook(it, params)
+                if it + 1 == profile_stop and profiling:
+                    jax.block_until_ready(losses)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                if self.preempted:
+                    # end-of-iteration boundary: params/opt_state are a
+                    # consistent post-step state — save it and stop. Resume
+                    # restarts at it+1 (same contract as periodic saves).
+                    self.save(params, it)
+                    self.checkpointer.wait()
+                    from ..utils.events import logger as _log
+
+                    if jax.process_index() == 0:
+                        _log.info(
+                            "SIGTERM: checkpoint saved at iteration %d; "
+                            "restart with --resume to continue", it,
+                        )
+                    else:
+                        # save() is a rank-0 no-op: this rank only exits
+                        _log.info(
+                            "SIGTERM: exiting for preemption at iteration "
+                            "%d (rank 0 saved the checkpoint)", it,
+                        )
+                    break
+                it += 1
+
+            if profiling:  # window extended past max_iter (or NUM_STEPS<=0)
                 jax.block_until_ready(losses)
                 jax.profiler.stop_trace()
-                profiling = False
-            if self.preempted:
-                # end-of-iteration boundary: params/opt_state are a
-                # consistent post-step state — save it and stop. Resume
-                # restarts at it+1 (same contract as periodic saves).
-                self.save(params, it)
+            self.params = params
+            if not self.preempted:
+                # a preempted run must NOT write model_final — that name
+                # means "training completed" to workflow scripts and eval
+                self.save(self.params, self.max_iter - 1, name="model_final")
+        finally:
+            if prev_handler is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_handler)
+            # train() must not return (or unwind) before every checkpoint
+            # is durable on disk (callers read model_final right after;
+            # multi-host smokes stat the files) — drain the async writer
+            # on ALL exit paths, including exceptions. When already
+            # unwinding, a writer error must not mask the original
+            # exception (raising in a finally replaces it).
+            import sys
+
+            if sys.exc_info()[0] is None:
                 self.checkpointer.wait()
-                from ..utils.events import logger as _log
+            else:
+                try:
+                    self.checkpointer.wait()
+                except Exception:
+                    from ..utils.events import logger as _log
 
-                _log.info(
-                    "SIGTERM: checkpoint saved at iteration %d; "
-                    "restart with --resume to continue", it,
-                )
-                break
-            it += 1
-
-        if profiling:  # window extended past max_iter (or NUM_STEPS <= 0)
-            jax.block_until_ready(losses)
-            jax.profiler.stop_trace()
-        if prev_handler is not None:
-            import signal
-
-            signal.signal(signal.SIGTERM, prev_handler)
-        self.params = params
-        if not self.preempted:
-            # a preempted run must NOT write model_final — that name means
-            # "training completed" to the workflow scripts and eval
-            self.save(self.params, self.max_iter - 1, name="model_final")
-        # train() must not return before every checkpoint is durable on
-        # disk (callers read model_final right after; multi-host smokes
-        # stat the files) — drain the async writer.
-        self.checkpointer.wait()
+                    _log.exception("async checkpoint writer also failed")
         return self.params
 
     def save(self, params, iteration, name=None):
