@@ -166,6 +166,14 @@ def build_detection_train_loader(
         native_io=cfg.DATALOADER.NATIVE_IO,
         host_s2d=cfg.TPU.HOST_SPACE_TO_DEPTH,
         sampling=cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING,
+        # train-only, like the reference's augs.insert(0, T.RandomCrop)
+        # under `if cfg.INPUT.CROP.ENABLED and is_train`
+        # (dataset_mapper.py:83-87)
+        crop=(
+            (cfg.INPUT.CROP.TYPE, tuple(cfg.INPUT.CROP.SIZE))
+            if cfg.INPUT.CROP.ENABLED
+            else None
+        ),
     )
     batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
     assert batch_size % world_size == 0, (batch_size, world_size)

@@ -1,10 +1,11 @@
 """Dataset mapper: file record -> fixed-shape numpy training example.
 
 Replaces defrcn/dataloader/dataset_mapper.py: reads the image, applies
-ResizeShortestEdge (multi-scale choice at train, fixed at test) and random
-horizontal flip, transforms boxes, then pads image and GT to static shapes
-(bucketed image sizes + MAX_GT slots) so every batch compiles to one of a
-handful of XLA programs.
+RandomCrop when INPUT.CROP.ENABLED (train only, before resize — reference
+dataset_mapper.py:83-87), ResizeShortestEdge (multi-scale choice at train,
+fixed at test) and random horizontal flip, transforms boxes, then pads
+image and GT to static shapes (bucketed image sizes + MAX_GT slots) so
+every batch compiles to one of a handful of XLA programs.
 """
 
 from __future__ import annotations
@@ -15,7 +16,14 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
-__all__ = ["DatasetMapper", "pick_bucket", "resize_shortest_edge_size"]
+__all__ = [
+    "DatasetMapper",
+    "crop_boxes",
+    "pick_bucket",
+    "random_crop_plan",
+    "random_crop_size",
+    "resize_shortest_edge_size",
+]
 
 
 def _open_oriented(file_name: str):
@@ -51,6 +59,52 @@ def resize_shortest_edge_size(h, w, short, max_size):
     return int(newh + 0.5), int(neww + 0.5)
 
 
+def random_crop_size(crop_type: str, crop_size, h: int, w: int, rng):
+    """d2 RandomCrop.get_crop_size (augmentation_impl.py): the (ch, cw)
+    crop extent for an (h, w) image. Draws (for the *_range types) come
+    from `rng`, our per-item stream, not np.random (documented deviation:
+    this build's rngs are item-seeded for multi-host lockstep)."""
+    if crop_type == "relative":
+        fh, fw = crop_size
+        return int(h * fh + 0.5), int(w * fw + 0.5)
+    if crop_type == "relative_range":
+        lo = np.asarray(crop_size, dtype=np.float32)
+        fh, fw = lo + rng.rand(2).astype(np.float32) * (1 - lo)
+        return int(h * fh + 0.5), int(w * fw + 0.5)
+    if crop_type == "absolute":
+        return min(int(crop_size[0]), h), min(int(crop_size[1]), w)
+    if crop_type == "absolute_range":
+        if crop_size[0] > crop_size[1]:
+            raise ValueError(f"absolute_range needs lo <= hi: {crop_size}")
+        ch = rng.randint(min(h, int(crop_size[0])), min(h, int(crop_size[1])) + 1)
+        cw = rng.randint(min(w, int(crop_size[0])), min(w, int(crop_size[1])) + 1)
+        return int(ch), int(cw)
+    raise ValueError(f"Unknown INPUT.CROP.TYPE: {crop_type!r}")
+
+
+def random_crop_plan(crop_type: str, crop_size, h: int, w: int, rng):
+    """d2 RandomCrop.get_transform: draw the crop extent then a uniform
+    offset; returns (y0, x0, ch, cw). Draw order (size -> y0 -> x0) is
+    fixed so DatasetMapper.plan and __call__ stay rng-lockstep."""
+    ch, cw = random_crop_size(crop_type, crop_size, h, w, rng)
+    if not (h >= ch and w >= cw):
+        raise ValueError(f"crop ({ch}, {cw}) larger than image ({h}, {w})")
+    y0 = int(rng.randint(h - ch + 1))
+    x0 = int(rng.randint(w - cw + 1))
+    return y0, x0, ch, cw
+
+
+def crop_boxes(boxes: np.ndarray, y0, x0, ch, cw) -> np.ndarray:
+    """d2 CropTransform.apply_box + transform_instance_annotations clip:
+    shift XYXY boxes into the crop frame and clip to its extent. Callers
+    drop the resulting degenerate (zero-area) boxes, matching
+    detection_utils.filter_empty_instances."""
+    shifted = boxes - np.array([x0, y0, x0, y0], np.float32)
+    shifted[:, 0::2] = shifted[:, 0::2].clip(0, cw)
+    shifted[:, 1::2] = shifted[:, 1::2].clip(0, ch)
+    return shifted
+
+
 def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]):
     """Smallest bucket (by area) covering (h, w); orientation-aware (both
     (a, b) and (b, a) are considered). Falls back to round-up-to-64."""
@@ -81,6 +135,7 @@ class DatasetMapper:
         native_io: bool = True,
         host_s2d: bool = False,
         sampling: str = "choice",
+        crop=None,
     ):
         self.is_train = is_train
         self.min_sizes = (
@@ -111,6 +166,19 @@ class DatasetMapper:
         # host 2x2 space-to-depth (backbone.py space_to_depth); skips the
         # on-device relayout the s2d stem otherwise pays
         self.host_s2d = host_s2d and not device_preprocess
+        # INPUT.CROP: (type, size) or None. Train-only, applied BEFORE
+        # resize/flip like the reference's augs.insert(0, T.RandomCrop)
+        # (dataset_mapper.py:83-87). validate draw-free types eagerly.
+        self.crop = None
+        if crop is not None and is_train:
+            ctype, csize = crop
+            if ctype not in (
+                "relative", "relative_range", "absolute", "absolute_range"
+            ):
+                raise ValueError(f"Unknown INPUT.CROP.TYPE: {ctype!r}")
+            if ctype == "absolute_range" and csize[0] > csize[1]:
+                raise ValueError(f"absolute_range needs lo <= hi: {csize}")
+            self.crop = (ctype, tuple(csize))
 
     def plan(self, record: Dict, rng: np.random.RandomState) -> Dict:
         """Metadata-only mapping plan: the (short, flip) draws and the
@@ -135,6 +203,13 @@ class DatasetMapper:
                         w0, h0 = h0, w0
                 except Exception:
                     pass
+        # crop draws FIRST (aug order: crop -> resize -> flip, reference
+        # dataset_mapper.py:83); the cropped extent is what resize sees
+        crop = None
+        ch, cw = h0, w0
+        if self.crop is not None:
+            crop = random_crop_plan(self.crop[0], self.crop[1], h0, w0, rng)
+            ch, cw = crop[2], crop[3]
         if not self.is_train:
             short = self.min_sizes[0]
         elif self.sampling == "range":
@@ -142,14 +217,14 @@ class DatasetMapper:
         else:
             short = self.min_sizes[rng.randint(len(self.min_sizes))]
         flip = bool(self.random_flip and rng.rand() < 0.5)
-        nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
+        nh, nw = resize_shortest_edge_size(ch, cw, short, self.max_size)
         if self.device_preprocess:
-            rbh, rbw = pick_bucket(h0, w0, self.raw_buckets or self.buckets)
+            rbh, rbw = pick_bucket(ch, cw, self.raw_buckets or self.buckets)
             tbh, tbw = pick_bucket(nh, nw, self.buckets)
             bucket = (rbh, rbw, tbh, tbw)
         else:
             bucket = pick_bucket(nh, nw, self.buckets)
-        return {"short": short, "flip": flip, "bucket": bucket}
+        return {"short": short, "flip": flip, "bucket": bucket, "crop": crop}
 
     def __call__(
         self, record: Dict, rng: np.random.RandomState, plan: Dict = None
@@ -173,15 +248,26 @@ class DatasetMapper:
         if self.image_format == "BGR":
             arr = arr[:, :, ::-1]
 
-        short = plan["short"]
-        nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
-        flip = plan["flip"]
-
         annos = record.get("annotations", [])
         boxes = np.array([a["bbox"] for a in annos], np.float32).reshape(-1, 4)
         classes = np.array(
             [a["category_id"] for a in annos], np.int64
         ).reshape(-1)
+
+        # INPUT.CROP first (host-side even in device-preprocess mode: a
+        # uint8 slice is free next to the decode; the device program only
+        # ever sees the cropped extent as the "original" image)
+        if plan.get("crop") is not None:
+            y0, x0, ch, cw = plan["crop"]
+            arr = arr[y0 : y0 + ch, x0 : x0 + cw]
+            h0, w0 = ch, cw
+            if len(boxes):
+                boxes = crop_boxes(boxes, y0, x0, ch, cw)
+
+        short = plan["short"]
+        nh, nw = resize_shortest_edge_size(h0, w0, short, self.max_size)
+        flip = plan["flip"]
+
         if len(boxes):
             boxes = scale_boxes(boxes, (h0, w0), (nh, nw), flip)
             keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
@@ -228,8 +314,12 @@ class DatasetMapper:
         img, oriented = _open_oriented(record["file_name"])
         w0, h0 = img.size
 
+        # effective resize source = the crop extent when INPUT.CROP is on
+        cropplan = plan.get("crop")
+        eh, ew = (cropplan[2], cropplan[3]) if cropplan else (h0, w0)
+
         short = plan["short"]
-        h, w = resize_shortest_edge_size(h0, w0, short, self.max_size)
+        h, w = resize_shortest_edge_size(eh, ew, short, self.max_size)
         flipped = plan["flip"]
         bh, bw = pick_bucket(h, w, self.buckets)
         if plan["bucket"] != (bh, bw):
@@ -245,8 +335,11 @@ class DatasetMapper:
         padded = None
         # EXIF-rotated files can't use the raw libjpeg path (it decodes
         # stored pixels; the reference's read_image applies orientation
-        # first, d2 detection_utils._apply_exif_orientation)
-        if self.native_io and not oriented:
+        # first, d2 detection_utils._apply_exif_orientation). The native
+        # decode+resize fusion has no crop stage — INPUT.CROP routes
+        # through the PIL path (crop is off in every reference config;
+        # correctness over the fused fast path here).
+        if self.native_io and not oriented and cropplan is None:
             from . import native_io
 
             res = native_io.load_image(
@@ -258,9 +351,12 @@ class DatasetMapper:
                 padded = np.clip(canvas + 0.5, 0, 255).astype(np.uint8)
                 h, w = int(new_hw[0]), int(new_hw[1])
 
-        if padded is None:  # PIL fallback (non-JPEG, native unavailable)
+        if padded is None:  # PIL fallback (non-JPEG, native off, crop on)
             img = img.convert("RGB")
-            if (h, w) != (h0, w0):
+            if cropplan is not None:
+                y0, x0, ch, cw = cropplan
+                img = img.crop((x0, y0, x0 + cw, y0 + ch))
+            if (h, w) != (eh, ew):
                 img = img.resize((w, h), Image.BILINEAR)
             arr = np.asarray(img, np.uint8)
             if self.image_format == "BGR":
@@ -270,7 +366,7 @@ class DatasetMapper:
             padded = np.zeros((bh, bw, 3), np.uint8)
             padded[:h, :w] = arr
 
-        sx, sy = w / w0, h / h0
+        sx, sy = w / ew, h / eh
         annos = record.get("annotations", [])
         boxes = np.array(
             [a["bbox"] for a in annos], np.float32
@@ -278,6 +374,9 @@ class DatasetMapper:
         classes = np.array(
             [a["category_id"] for a in annos], np.int64
         ).reshape(-1)
+        if cropplan is not None and len(boxes):
+            y0, x0, ch, cw = cropplan
+            boxes = crop_boxes(boxes, y0, x0, ch, cw)
         boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
 
         if flipped and len(boxes):

@@ -47,7 +47,6 @@ _FIXED_AT_DEFAULT = (
     ("MODEL.ROI_HEADS.IN_FEATURES", ("res4",)),
     ("MODEL.ROI_HEADS.IOU_LABELS", (0, 1)),
     ("MODEL.ROI_BOX_HEAD.NAME", "FastRCNNConvFCHead"),
-    ("INPUT.CROP.ENABLED", False),
     ("DATALOADER.ASPECT_RATIO_GROUPING", True),
     ("TEST.AUG.ENABLED", False),
 )

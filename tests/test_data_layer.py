@@ -325,3 +325,221 @@ def test_get_class_name_resolution():
     # totally unresolvable raises
     with pytest.raises(ValueError):
         names_for("voc_nothing_matches_here")
+
+
+# ---------------------------------------------------------------------------
+# INPUT.CROP (d2 RandomCrop) — golden vs a numpy transcription of
+# detectron2's RandomCrop.get_crop_size / get_transform
+# (augmentation_impl.py) and CropTransform.apply_box +
+# transform_instance_annotations clipping (transform.py /
+# detection_utils.py). Reference inserts the aug at position 0 (before
+# resize/flip): /root/reference/defrcn/dataloader/dataset_mapper.py:83-87.
+# ---------------------------------------------------------------------------
+
+
+def _d2_random_crop_transcription(crop_type, crop_size, h, w, rng):
+    """Independent transcription of d2 RandomCrop (get_crop_size +
+    get_transform), numpy-only, same rng draw order as the mapper's
+    helpers (size draws, then y0, then x0)."""
+    if crop_type == "relative":
+        ch, cw = crop_size
+        croph, cropw = int(h * ch + 0.5), int(w * cw + 0.5)
+    elif crop_type == "relative_range":
+        csize = np.asarray(crop_size, dtype=np.float32)
+        ch, cw = csize + rng.rand(2).astype(np.float32) * (1 - csize)
+        croph, cropw = int(h * ch + 0.5), int(w * cw + 0.5)
+    elif crop_type == "absolute":
+        croph, cropw = (min(crop_size[0], h), min(crop_size[1], w))
+    elif crop_type == "absolute_range":
+        assert crop_size[0] <= crop_size[1]
+        croph = rng.randint(min(h, crop_size[0]), min(h, crop_size[1]) + 1)
+        cropw = rng.randint(min(w, crop_size[0]), min(w, crop_size[1]) + 1)
+    assert h >= croph and w >= cropw
+    y0 = rng.randint(h - croph + 1)
+    x0 = rng.randint(w - cropw + 1)
+    return y0, x0, croph, cropw
+
+
+def test_random_crop_plan_matches_d2_transcription():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.mapper import (
+        random_crop_plan,
+    )
+
+    cases = [
+        ("relative", (0.7, 0.6), 333, 517),
+        ("relative_range", (0.4, 0.5), 480, 640),
+        ("absolute", (200, 300), 250, 280),
+        ("absolute", (400, 500), 250, 280),  # clamped to image
+        ("absolute_range", (100, 400), 250, 333),
+    ]
+    for seed in range(20):
+        for ctype, csize, h, w in cases:
+            ours = random_crop_plan(
+                ctype, csize, h, w, np.random.RandomState(seed)
+            )
+            d2 = _d2_random_crop_transcription(
+                ctype, csize, h, w, np.random.RandomState(seed)
+            )
+            assert ours == tuple(d2), (ctype, csize, h, w, seed, ours, d2)
+
+
+def test_random_crop_size_rounding_fixed_points():
+    """Hand-derived d2 rounding semantics: int(dim * frac + 0.5)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.mapper import (
+        random_crop_size,
+    )
+
+    # 333 * 0.7 + 0.5 = 233.6 -> 233; 517 * 0.6 + 0.5 = 310.7 -> 310
+    assert random_crop_size("relative", (0.7, 0.6), 333, 517, None) == (233, 310)
+    # absolute clamps to the image
+    assert random_crop_size("absolute", (400, 200), 250, 280, None) == (250, 200)
+    with pytest.raises(ValueError, match="Unknown INPUT.CROP.TYPE"):
+        random_crop_size("fractional", (0.5, 0.5), 100, 100, None)
+
+
+def test_crop_boxes_shift_and_clip():
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.data.mapper import (
+        crop_boxes,
+    )
+
+    boxes = np.array(
+        [
+            [30.0, 40.0, 60.0, 80.0],   # fully inside the crop
+            [0.0, 0.0, 30.0, 30.0],     # straddles the crop origin
+            [0.0, 0.0, 10.0, 10.0],     # fully outside -> degenerate
+            [90.0, 90.0, 200.0, 200.0], # straddles the far edge
+        ],
+        np.float32,
+    )
+    # crop window y0=20, x0=25, ch=100, cw=110 (frame: x in [25,135), ...)
+    out = crop_boxes(boxes.copy(), 20, 25, 100, 110)
+    np.testing.assert_allclose(out[0], [5, 20, 35, 60])
+    np.testing.assert_allclose(out[1], [0, 0, 5, 10])
+    # degenerate: clipped to zero area (x2 == x1 == 0)
+    assert out[2][2] - out[2][0] == 0
+    np.testing.assert_allclose(out[3], [65, 70, 110, 100])
+
+
+def test_mapper_crop_host_path(tmp_path):
+    """Host path with INPUT.CROP: pixels are crop->resize->flip of the
+    decoded image and boxes are shifted+clipped into the crop frame then
+    scaled; the plan()/__call__ rng contract holds; empty boxes drop."""
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    rec = dicts[0]  # 300x220, boxes at [10,20,100,120],[50,60,200,180],[5,5,60,50]
+    mapper = DatasetMapper(
+        is_train=True,
+        min_size=(128,),
+        max_size=256,
+        buckets=[(192, 256)],
+        max_gt=10,
+        random_flip=True,
+        native_io=True,  # must be BYPASSED when crop is active
+        crop=("absolute", (150, 200)),
+    )
+    seed = 3
+    plan = mapper.plan(rec, np.random.RandomState(seed))
+    item = mapper(rec, np.random.RandomState(seed))
+    y0, x0, ch, cw = plan["crop"]
+    assert (ch, cw) == (150, 200)
+
+    # oracle: PIL decode -> crop -> resize -> BGR -> flip
+    img = Image.open(rec["file_name"]).convert("RGB")
+    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+    h, w = resize_shortest_edge_size(ch, cw, 128, 256)
+    arr = np.asarray(img.resize((w, h), Image.BILINEAR), np.uint8)[:, :, ::-1]
+    if plan["flip"]:
+        arr = arr[:, ::-1, :]
+    assert tuple(item["hw"]) == (h, w)
+    np.testing.assert_array_equal(item["image"][:h, :w], arr)
+
+    # oracle boxes: shift+clip into the crop frame, scale, flip, clip
+    raw = np.array(
+        [a["bbox"] for a in rec["annotations"]], np.float32
+    ).reshape(-1, 4)
+    shifted = raw - np.array([x0, y0, x0, y0], np.float32)
+    shifted[:, 0::2] = shifted[:, 0::2].clip(0, cw)
+    shifted[:, 1::2] = shifted[:, 1::2].clip(0, ch)
+    scaled = shifted * np.array([w / cw, h / ch, w / cw, h / ch], np.float32)
+    if plan["flip"]:
+        scaled = np.stack(
+            [w - scaled[:, 2], scaled[:, 1], w - scaled[:, 0], scaled[:, 3]],
+            axis=1,
+        )
+    scaled[:, 0::2] = scaled[:, 0::2].clip(0, w)
+    scaled[:, 1::2] = scaled[:, 1::2].clip(0, h)
+    keep = (scaled[:, 2] > scaled[:, 0]) & (scaled[:, 3] > scaled[:, 1])
+    expect = scaled[keep]
+    got = item["gt_boxes"][item["gt_valid"]]
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_mapper_crop_drops_fully_outside_boxes(tmp_path):
+    """A GT fully outside the crop window becomes zero-area after the
+    shift+clip and must be dropped (filter_empty_instances semantics)."""
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    rec = dict(dicts[0])
+    # image 0 is 300x220; place one box in the far corner and crop the
+    # opposite corner deterministically via a rigged rng
+    rec["annotations"] = [
+        {"category_id": 0, "bbox": [250.0, 180.0, 295.0, 215.0]},
+        {"category_id": 1, "bbox": [10.0, 10.0, 80.0, 80.0]},
+    ]
+
+    class FixedRng:
+        """randint(n) -> 0: crop at origin; rand() -> 0.9: no flip draw
+        ambiguity (flip=False since 0.9 >= 0.5)."""
+
+        def randint(self, *a, **k):
+            return 0
+
+        def rand(self, *a):
+            return np.zeros(a) if a else 0.9
+
+    mapper = DatasetMapper(
+        is_train=True, min_size=(128,), max_size=256,
+        buckets=[(192, 256)], max_gt=10, random_flip=True,
+        crop=("absolute", (150, 200)),
+    )
+    item = mapper(rec, FixedRng())
+    # only the in-window box survives
+    assert item["gt_valid"].sum() == 1
+    assert item["gt_classes"][item["gt_valid"]][0] == 1
+
+
+def test_mapper_crop_device_preprocess_path(tmp_path):
+    """Device-preprocess mode: the crop happens on host; the raw payload
+    is the cropped uint8 extent, orig_hw/buckets describe the crop."""
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    rec = dicts[1]
+    mapper = DatasetMapper(
+        is_train=True, min_size=(128,), max_size=256,
+        buckets=[(192, 256)], max_gt=10, random_flip=True,
+        device_preprocess=True, raw_buckets=[(256, 384)],
+        crop=("absolute", (160, 240)),
+    )
+    seed = 5
+    plan = mapper.plan(rec, np.random.RandomState(seed))
+    item = mapper(rec, np.random.RandomState(seed))
+    y0, x0, ch, cw = plan["crop"]
+    assert tuple(item["orig_hw"]) == (ch, cw)
+    img = np.asarray(
+        Image.open(rec["file_name"]).convert("RGB"), np.uint8
+    )[:, :, ::-1]
+    np.testing.assert_array_equal(
+        item["image"][:ch, :cw], img[y0 : y0 + ch, x0 : x0 + cw]
+    )
+    # plan bucket agrees with the decode-time bucket (lockstep contract)
+    assert plan["bucket"] == item["bucket"]

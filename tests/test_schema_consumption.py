@@ -37,10 +37,6 @@ ALLOWED_INERT = {
     # consumer is GeneralizedRCNN2, a class the reference never committed
     # (documented non-reproducible) — the key must PARSE, nothing reads it
     "TEACHER_NOVEL_DIR",
-    # only meaningful when INPUT.CROP.ENABLED, which is validated
-    # fixed-at-False (models/build.py); they exist so d2 configs parse
-    "INPUT.CROP.TYPE",
-    "INPUT.CROP.SIZE",
 }
 
 
