@@ -46,15 +46,35 @@ class CfgNode(dict):
 
     def merge_from_file(self, cfg_filename: str, allow_unsafe: bool = True) -> None:
         loaded = _load_yaml_with_base(cfg_filename)
-        # older-VERSION configs go through the compat rename table before
-        # the strict merge, like the reference's fvcore loader
-        # (config/compat.py upgrade; ref defrcn/config/compat.py)
-        from .compat import upgrade_config
+        # fvcore/d2 compat flow (ref defrcn/config/compat.py + fvcore
+        # CfgNode.merge_from_file): prune keys this build removed (any
+        # VERSION), guess the file's version when unstated, and for an
+        # older version downgrade the FULL default config to that
+        # version, merge the partial file there (strict in the old key
+        # space), then upgrade the merged whole back to latest.
+        from .compat import (
+            LATEST_VERSION,
+            downgrade_config,
+            guess_version,
+            prune_removed_keys,
+            upgrade_config,
+        )
 
-        # always: renames apply only below LATEST_VERSION, but removed-key
-        # pruning must also cover current-VERSION dumps from older builds
-        loaded = upgrade_config(loaded)
-        _merge(loaded, self, allow_new=False)
+        loaded = prune_removed_keys(loaded)
+        version = loaded.get("VERSION")
+        if version is None:
+            version = guess_version(loaded, cfg_filename)
+        if version == LATEST_VERSION:
+            _merge(loaded, self, allow_new=False)
+        else:
+            old_self = downgrade_config(self.clone(), to_version=version)
+            # re-wrap: compat's dotted-path _set creates plain dict nodes
+            old_self = CfgNode(old_self)
+            _merge(loaded, old_self, allow_new=False)
+            new = upgrade_config(old_self)
+            # upgrade(downgrade(defaults)) == defaults, so every key in
+            # `new` exists here; merging back coerces list/tuple types
+            _merge(new, self, allow_new=False)
 
     def merge_from_list(self, opts: list) -> None:
         assert len(opts) % 2 == 0, f"Override list has odd length: {opts}"
@@ -103,10 +123,19 @@ def _merge(src: dict, dst: CfgNode, allow_new: bool) -> None:
             dst[k] = _coerce_merged(v, dst[k])
 
 
+def _deep_tuple(v: Any) -> Any:
+    if isinstance(v, (list, tuple)):
+        return tuple(_deep_tuple(x) for x in v)
+    return v
+
+
 def _coerce_merged(new: Any, old: Any) -> Any:
-    # YAML gives lists; keep tuples as tuples when the default was a tuple.
+    # YAML gives lists; keep tuples as tuples when the default was a
+    # tuple — recursively, so nested defaults like ANCHOR_GENERATOR.SIZES
+    # (((32, 64, ...),)) keep their type through dump -> reload cycles
+    # (the CLI _coerce path already yields nested tuples via literal_eval)
     if isinstance(old, tuple) and isinstance(new, (list, tuple)):
-        return tuple(new)
+        return _deep_tuple(new)
     if isinstance(new, str):
         return _coerce(new, old)
     return new
