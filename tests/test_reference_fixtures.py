@@ -283,61 +283,12 @@ def _d2_fast_rcnn_inference_mirror(
     (fast_rcnn.py:90-134 + Box2BoxTransform.apply_deltas): softmax -> drop
     bg -> per-class decode+clip -> threshold -> class-aware NMS over
     row-major (proposal, class) candidates -> top-k, score-sorted."""
-    import math
-
-    p = logits.shape[0]
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     scores = (e / e.sum(axis=1, keepdims=True))[:, :-1]  # (P, K)
-
-    scale_clamp = math.log(1000.0 / 16)
-    widths = proposals[:, 2] - proposals[:, 0]
-    heights = proposals[:, 3] - proposals[:, 1]
-    cx = proposals[:, 0] + 0.5 * widths
-    cy = proposals[:, 1] + 0.5 * heights
-    d = deltas.reshape(p, num_classes, 4)
-    wx, wy, ww, wh = weights
-    pcx = d[:, :, 0] / wx * widths[:, None] + cx[:, None]
-    pcy = d[:, :, 1] / wy * heights[:, None] + cy[:, None]
-    pw = np.exp(np.minimum(d[:, :, 2] / ww, scale_clamp)) * widths[:, None]
-    ph = np.exp(np.minimum(d[:, :, 3] / wh, scale_clamp)) * heights[:, None]
-    boxes = np.stack(
-        [pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2], axis=-1
-    )  # (P, K, 4)
-    h, w = hw
-    boxes[..., 0] = boxes[..., 0].clip(0, w)
-    boxes[..., 1] = boxes[..., 1].clip(0, h)
-    boxes[..., 2] = boxes[..., 2].clip(0, w)
-    boxes[..., 3] = boxes[..., 3].clip(0, h)
-
-    # row-major (proposal, class) candidate list, like filter_mask.nonzero()
-    keep_mask = scores > score_thresh
-    pi, ci = np.nonzero(keep_mask)
-    cb = boxes[pi, ci]
-    cs = scores[pi, ci]
-
-    # class-offset trick + greedy NMS (torchvision batched_nms semantics)
-    if len(cb):
-        max_coord = cb.max() + 1.0
-        shifted = cb + (ci[:, None] * max_coord)
-        order = np.argsort(-cs, kind="stable")
-        areas = (shifted[:, 2] - shifted[:, 0]) * (shifted[:, 3] - shifted[:, 1])
-        suppressed = np.zeros(len(cb), bool)
-        kept = []
-        for i in order:
-            if suppressed[i]:
-                continue
-            kept.append(i)
-            xx1 = np.maximum(shifted[i, 0], shifted[:, 0])
-            yy1 = np.maximum(shifted[i, 1], shifted[:, 1])
-            xx2 = np.minimum(shifted[i, 2], shifted[:, 2])
-            yy2 = np.minimum(shifted[i, 3], shifted[:, 3])
-            inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
-            iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
-            suppressed |= iou > nms_thresh
-        kept = kept[:topk]
-    else:
-        kept = []
-    return cb[kept], cs[kept], ci[kept]
+    return _mirror_from_scores(
+        scores, deltas, proposals, hw, num_classes, score_thresh,
+        nms_thresh, topk, weights,
+    )
 
 
 def test_fast_rcnn_inference_parity_vs_d2_mirror():
@@ -386,3 +337,183 @@ def test_fast_rcnn_inference_parity_vs_d2_mirror():
             np.asarray(ob)[:nv], rb, rtol=1e-4, atol=1e-3
         )
         assert nv > 0
+
+
+def test_candidate_topk_budget_adversarial_bound():
+    """VERDICT r2 weak #6 / PARITY deviation #11: bound the static
+    ``candidate_topk`` NMS budget adversarially instead of sampling it.
+
+    Leg 1 (overloaded but realistic): >1024 (proposal, class) pairs clear
+    the 0.05 threshold with spread-out geometry — the budgeted fixed-shape
+    path must still match the unbudgeted d2 mirror EXACTLY (the final
+    top-k is drawn from the top-scoring candidates, which the budget
+    admits whenever >= topk survivors exist inside it).
+
+    Leg 2 (constructed worst case): one dominant class floods the budget
+    with near-identical boxes so almost everything the budget admits is
+    suppressed, while a lower-scoring class sits beyond rank 1024 at a
+    distinct location. Divergence is then REAL, and this test pins its
+    exact shape: (a) the budgeted output equals the mirror restricted to
+    the top-1024 candidates (truncation is the ONLY deviation), (b) every
+    missed detection scores below the weakest admitted candidate, and
+    (c) raising the budget (the TPU.MAX_DETECTIONS_PRE_NMS knob,
+    models/build.py:152) to cover all candidates restores exactness.
+    """
+    import jax.numpy as jnp
+
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.fast_rcnn import (
+        fast_rcnn_inference,
+    )
+
+    def run(logits, deltas, props, hw, k, budget, topk=100):
+        p = logits.shape[0]
+        ob, os_, oc, ov = fast_rcnn_inference(
+            jnp.asarray(logits), jnp.asarray(deltas), jnp.asarray(props),
+            jnp.ones((p,), bool), jnp.asarray(hw, jnp.int32),
+            num_classes=k, score_thresh=0.05, nms_thresh=0.5,
+            topk_per_image=topk, candidate_topk=budget,
+        )
+        nv = int(np.asarray(ov).sum())
+        return (
+            np.asarray(ob)[:nv], np.asarray(os_)[:nv], np.asarray(oc)[:nv]
+        )
+
+    # ---- leg 1: >1024 above-threshold pairs, spread geometry ----
+    rng = np.random.RandomState(11)
+    p, k = 300, 8
+    h, w = 640, 960
+    # peaked-enough logits: most (proposal, class) pairs clear 0.05
+    logits = (rng.randn(p, k + 1) * 1.6).astype(np.float32)
+    deltas = (rng.randn(p, k * 4) * 0.3).astype(np.float32)
+    props = rng.uniform(0, 700, (p, 4)).astype(np.float32)
+    props[:, 2:] = props[:, :2] + rng.uniform(20, 200, (p, 2))
+
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    sm = (e / e.sum(axis=1, keepdims=True))[:, :-1]
+    n_above = int((sm > 0.05).sum())
+    assert n_above > 1024, n_above  # genuinely over budget
+
+    gb, gs, gc = run(logits, deltas, props, (h, w), k, budget=1024)
+    rb, rs, rc = _d2_fast_rcnn_inference_mirror(
+        logits, deltas, props, (h, w), k, 0.05, 0.5, 100
+    )
+    assert len(gs) == len(rs)
+    np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(gc, rc)
+    np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-3)
+
+    # ---- leg 2: constructed worst case ----
+    p2 = 1400
+    k2 = 2
+    # class 0: 1399 proposals piled on one spot, scores descending and all
+    # above class 1's. class 1: ONE proposal at a distinct location whose
+    # candidate rank is beyond any 1024 budget.
+    logits2 = np.full((p2, k2 + 1), -8.0, np.float32)
+    logits2[:-1, 0] = 6.0 + np.linspace(1.0, 0.0, p2 - 1)  # class 0 flood
+    logits2[-1, 1] = 5.0                                    # class 1 single
+    deltas2 = np.zeros((p2, k2 * 4), np.float32)           # identity decode
+    props2 = np.tile(np.array([100.0, 100.0, 200.0, 200.0], np.float32),
+                     (p2, 1))
+    props2[:-1] += rng.uniform(-2, 2, (p2 - 1, 4)).astype(np.float32)
+    props2[-1] = [500.0, 300.0, 600.0, 400.0]
+
+    sm2 = np.exp(logits2 - logits2.max(1, keepdims=True))
+    sm2 = (sm2 / sm2.sum(1, keepdims=True))[:, :-1]
+    assert (sm2 > 0.05).sum() > 1024
+    # class 1's candidate is ranked below every class-0 candidate
+    assert sm2[-1, 1] < sm2[:-1, 0].min()
+
+    bb, bs, bc = run(logits2, deltas2, props2, (h, w), k2, budget=1024)
+    mb, ms, mc = _d2_fast_rcnn_inference_mirror(
+        logits2, deltas2, props2, (h, w), k2, 0.05, 0.5, 100
+    )
+    # the unbudgeted mirror finds class 1; the budget path cannot
+    assert 1 in mc and 1 not in bc  # divergence is real, as constructed
+
+    # (a) truncation is the ONLY deviation: budget path == mirror over the
+    # top-1024 candidates
+    flat = sm2.reshape(-1)
+    admit = np.argsort(-flat, kind="stable")[:1024]
+    admitted_min = flat[admit][flat[admit] > 0.05].min()
+    trunc_logits = logits2.copy()
+    mask = np.ones((p2, k2), bool)
+    mask.reshape(-1)[admit] = False
+    # suppress non-admitted candidates below threshold for the mirror
+    trunc_sm = sm2.copy()
+    trunc_sm[mask] = 0.0
+    tb, ts, tc = _mirror_from_scores(
+        trunc_sm, deltas2, props2, (h, w), k2, 0.05, 0.5, 100
+    )
+    np.testing.assert_allclose(bs, ts, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(bc, tc)
+    np.testing.assert_allclose(bb, tb, rtol=1e-4, atol=1e-3)
+
+    # (b) every missed detection scores below the weakest admitted one
+    missed = [s for s, c in zip(ms, mc) if c == 1]
+    assert all(s <= admitted_min + 1e-7 for s in missed)
+
+    # (c) raising the budget to cover everything restores exactness
+    fb, fs, fc = run(logits2, deltas2, props2, (h, w), k2, budget=p2 * k2)
+    assert len(fs) == len(ms)
+    np.testing.assert_allclose(fs, ms, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(fc, mc)
+
+
+def _mirror_from_scores(
+    scores, deltas, proposals, hw, num_classes, score_thresh, nms_thresh,
+    topk, weights=(10.0, 10.0, 5.0, 5.0),
+):
+    """_d2_fast_rcnn_inference_mirror with pre-computed (possibly masked)
+    softmax scores instead of logits (used to mirror candidate
+    truncation exactly)."""
+    import math
+
+    p = scores.shape[0]
+    scale_clamp = math.log(1000.0 / 16)
+    widths = proposals[:, 2] - proposals[:, 0]
+    heights = proposals[:, 3] - proposals[:, 1]
+    cx = proposals[:, 0] + 0.5 * widths
+    cy = proposals[:, 1] + 0.5 * heights
+    d = deltas.reshape(p, num_classes, 4)
+    wx, wy, ww, wh = weights
+    pcx = d[:, :, 0] / wx * widths[:, None] + cx[:, None]
+    pcy = d[:, :, 1] / wy * heights[:, None] + cy[:, None]
+    pw = np.exp(np.minimum(d[:, :, 2] / ww, scale_clamp)) * widths[:, None]
+    ph = np.exp(np.minimum(d[:, :, 3] / wh, scale_clamp)) * heights[:, None]
+    boxes = np.stack(
+        [pcx - pw / 2, pcy - ph / 2, pcx + pw / 2, pcy + ph / 2], axis=-1
+    )
+    h, w = hw
+    boxes[..., 0] = boxes[..., 0].clip(0, w)
+    boxes[..., 1] = boxes[..., 1].clip(0, h)
+    boxes[..., 2] = boxes[..., 2].clip(0, w)
+    boxes[..., 3] = boxes[..., 3].clip(0, h)
+
+    keep_mask = scores > score_thresh
+    pi, ci = np.nonzero(keep_mask)
+    cb = boxes[pi, ci]
+    cs = scores[pi, ci]
+    if len(cb):
+        max_coord = cb.max() + 1.0
+        shifted = cb + (ci[:, None] * max_coord)
+        order = np.argsort(-cs, kind="stable")
+        areas = (shifted[:, 2] - shifted[:, 0]) * (
+            shifted[:, 3] - shifted[:, 1]
+        )
+        suppressed = np.zeros(len(cb), bool)
+        kept = []
+        for i in order:
+            if suppressed[i]:
+                continue
+            kept.append(i)
+            xx1 = np.maximum(shifted[i, 0], shifted[:, 0])
+            yy1 = np.maximum(shifted[i, 1], shifted[:, 1])
+            xx2 = np.minimum(shifted[i, 2], shifted[:, 2])
+            yy2 = np.minimum(shifted[i, 3], shifted[:, 3])
+            inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+            iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+            suppressed |= iou > nms_thresh
+        kept = kept[:topk]
+    else:
+        kept = []
+    return cb[kept], cs[kept], ci[kept]
