@@ -1,0 +1,152 @@
+#!/usr/bin/env bash
+# Held-out generalization gate (VERDICT r2 task 1): the full few-shot
+# workflow (base train -> surgery -> create_config -> gfsod 10-shot
+# fine-tune -> eval) on a LEARNABLE synthetic dataset with a DISJOINT
+# held-out val split, with the production regularizers active (cls
+# dropout, the GDL BACKWARD_SCALE/FREEZE_FEAT contract, multi-scale
+# resize aug, weight-decay groups). Floors are calibrated (2026-08-20,
+# CPU tiny profile; see NOTES.md) and asserted with wide margin through
+# TEST.EXPECTED_RESULTS, so a silently-disabled regularizer or a wrong
+# gradient contract FAILS — unlike the overfit checks, which an
+# overfitting-friendly bug can pass.
+#
+#   bash tools/check_generalization.sh [SAVE_DIR]
+#   GEN_SABOTAGE=1 bash tools/check_generalization.sh   # discrimination
+#     proof: runs the fine-tune with the gradient contract broken
+#     (BACKWARD_SCALE 1.0, FREEZE_FEAT False) and asserts the held-out
+#     gate CATCHES it (the gated run must FAIL).
+#
+# Reference protocol: run_voc.sh:25-44;
+# defrcn/evaluation/pascal_voc_evaluation.py:131-148.
+set -e -o pipefail
+cd "$(dirname "$0")/.."
+
+SAVE_DIR=${1:-/tmp/check_generalization}
+rm -rf ${SAVE_DIR}
+mkdir -p ${SAVE_DIR}
+
+DATA_ROOT=${SAVE_DIR}/datasets
+export FSODTF_DATASETS=${DATA_ROOT}
+python tools/_make_generalization_voc.py --root ${DATA_ROOT} \
+    --train-2007 120 --train-2012 60 --val 60 --shots 10 --seed 0
+
+# Calibrated floors (measured AP50 ~= see NOTES ledger; floors leave
+# >= 20 pts of margin for seed/platform noise while still failing hard
+# on regressions like a broken aug/transform or gradient contract).
+BASE_AP50_FLOOR=${BASE_AP50_FLOOR:-60}
+NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-45}
+BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-55}
+ITERS_BASE=${ITERS_BASE:-400}
+ITERS_FT=${ITERS_FT:-300}
+
+# Tiny model profile: PRODUCTION regularizers and aug semantics at a
+# CI-able scale. No dropout/GDL/score-thresh overrides — those come
+# from the real configs.
+TINY_OPTS="MODEL.RESNETS.DEPTH 14 MODEL.RESNETS.STEM_OUT_CHANNELS 8
+MODEL.RESNETS.RES2_OUT_CHANNELS 16 MODEL.RESNETS.WIDTH_PER_GROUP 4
+MODEL.BACKBONE.FREEZE_AT 0
+MODEL.RPN.PRE_NMS_TOPK_TRAIN 256 MODEL.RPN.POST_NMS_TOPK_TRAIN 64
+MODEL.RPN.PRE_NMS_TOPK_TEST 256 MODEL.RPN.POST_NMS_TOPK_TEST 64
+MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE 32
+TPU.IMAGE_BUCKETS ((288,384),) TPU.MAX_GT 10 TPU.MAX_DETECTIONS_PRE_NMS 128
+TPU.COMPUTE_DTYPE float32
+INPUT.MIN_SIZE_TRAIN (224,256,288) INPUT.MAX_SIZE_TRAIN 384
+INPUT.MIN_SIZE_TEST 288 INPUT.MAX_SIZE_TEST 384
+SOLVER.IMS_PER_BATCH 8 SOLVER.WARMUP_ITERS 50
+SOLVER.CHECKPOINT_PERIOD 0 SEED 5"
+
+if [ "${GEN_SABOTAGE:-0}" != "1" ]; then
+echo "=== 1. base training (15 base classes, held-out eval) ==="
+python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
+    --opts MODEL.WEIGHTS "" SOLVER.MAX_ITER ${ITERS_BASE} \
+    SOLVER.STEPS "($((ITERS_BASE*3/4)),$((ITERS_BASE*9/10)))" \
+    SOLVER.BASE_LR 0.02 \
+    TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-BASE_AP50_FLOOR)))]" \
+    OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
+
+echo "=== 2. checkpoint surgery (15 -> 20 classes) ==="
+python tools/model_surgery.py --dataset voc --method randinit \
+    --src-path ${SAVE_DIR}/base1/model_final.ckpt --save-dir ${SAVE_DIR}/base1
+else
+echo "=== sabotage mode: reusing a cached base stage if present ==="
+CACHED=${GEN_CACHED_BASE:-}
+if [ -n "${CACHED}" ] && [ -f "${CACHED}" ]; then
+    mkdir -p ${SAVE_DIR}/base1
+    cp ${CACHED} ${SAVE_DIR}/base1/model_reset_surgery.ckpt
+else
+    python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
+        --opts MODEL.WEIGHTS "" SOLVER.MAX_ITER ${ITERS_BASE} \
+        SOLVER.STEPS "($((ITERS_BASE*3/4)),$((ITERS_BASE*9/10)))" \
+        SOLVER.BASE_LR 0.02 TEST.EVAL_PERIOD 0 DATASETS.TEST "()" \
+        OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
+    python tools/model_surgery.py --dataset voc --method randinit \
+        --src-path ${SAVE_DIR}/base1/model_final.ckpt \
+        --save-dir ${SAVE_DIR}/base1
+fi
+fi
+
+echo "=== 3. create per-seed config ==="
+python tools/create_config.py --dataset voc --config_root configs/voc \
+    --shot 10 --seed 0 --setting gfsod --split 1
+CONFIG=configs/voc/defrcn_gfsod_r101_novel1_10shot_seed0.yaml
+trap "rm -f ${CONFIG}" EXIT
+
+FT_GATE="[('bbox','nAP50',100.0,$((100-NOVEL_AP50_FLOOR))),('bbox','bAP50',100.0,$((100-BASE_AFTER_FT_FLOOR)))]"
+
+if [ "${GEN_SABOTAGE:-0}" != "1" ]; then
+echo "=== 4. gfsod 10-shot fine-tune (production gradient contract) ==="
+OUT=${SAVE_DIR}/10shot_seed0
+python main.py --config-file ${CONFIG} \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
+    SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
+    SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
+    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" \
+    TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
+    2>&1 | tee ${OUT}.log
+
+echo "=== 5. text-head fine-tune (reference active-student recipe) ==="
+# The flagship text contribution generalizing to held-out images: the
+# TextRes5ROIHeads student fine-tune (run_text_train_student.sh recipe:
+# TEACHER_TRAINING+STUDENT_TRAINING True, DISTILLATE False -> pure-CE
+# student; class embeddings resolve to the deterministic synthetic
+# fallback like the CLI without datasets/glove). Lower floors: the
+# attention/student stack ramps slower at this scale.
+TEXT_NOVEL_FLOOR=${TEXT_NOVEL_FLOOR:-30}
+TEXT_BASE_FLOOR=${TEXT_BASE_FLOOR:-45}
+TEXT_GATE="[('bbox','nAP50',100.0,$((100-TEXT_NOVEL_FLOOR))),('bbox','bAP50',100.0,$((100-TEXT_BASE_FLOOR)))]"
+OUTT=${SAVE_DIR}/10shot_seed0_text
+python main.py --config-file ${CONFIG} \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
+    MODEL.META_ARCHITECTURE GeneralizedTextRCNN \
+    MODEL.ROI_HEADS.NAME TextRes5ROIHeads \
+    MODEL.ADDITION.NAME glove \
+    MODEL.ROI_HEADS.TEACHER_TRAINING True \
+    MODEL.ROI_HEADS.STUDENT_TRAINING True \
+    MODEL.ROI_HEADS.DISTILLATE False \
+    SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
+    SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUTT} \
+    TEST.PCB_ENABLE False \
+    TEST.EXPECTED_RESULTS "${TEXT_GATE}" ${TINY_OPTS} \
+    2>&1 | tee ${OUTT}.log
+echo "GENERALIZATION GATE PASSED (held-out bAP50/nAP50 over floors, flagship + text)"
+else
+echo "=== 4S. SABOTAGED fine-tune: contract broken, the gate must FAIL ==="
+OUT=${SAVE_DIR}/10shot_seed0_sabotage
+set +e
+python main.py --config-file ${CONFIG} \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
+    SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
+    SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
+    MODEL.RPN.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.BACKWARD_SCALE 1.0 \
+    MODEL.ROI_HEADS.FREEZE_FEAT False \
+    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" \
+    TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
+    2>&1 | tee ${OUT}.log
+RC=$?
+set -e
+if [ ${RC} -eq 0 ]; then
+    echo "SABOTAGE NOT DETECTED: the broken gradient contract passed the gate"
+    exit 1
+fi
+echo "SABOTAGE DETECTED (gate failed as it must, rc=${RC})"
+fi
