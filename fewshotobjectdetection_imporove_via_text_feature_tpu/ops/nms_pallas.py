@@ -32,11 +32,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 128
-# cross-tile sweep block width (tiles); 8 and 16 measure equal at N=12000
-BLK_TILES = 8
 
 
-def _nms_kernel(thresh, num_tiles, max_keep, rows_ref, keep_ref):
+def _blk_tiles() -> int:
+    """Cross-tile sweep block width in tiles. 8 and 16 measured equal at
+    N=12000 (round-1); FSODTF_NMS_BLK exists for on-chip A/B sweeps
+    (read at trace time — each jit program bakes the value it saw)."""
+    import os
+
+    return int(os.environ.get("FSODTF_NMS_BLK", "8"))
+
+
+def _nms_kernel(thresh, num_tiles, max_keep, blk_tiles, rows_ref, keep_ref):
     """rows_ref: (8, N) f32; keep_ref: (8, N) f32 out (row 0 = keep).
 
     max_keep (static int | None): stop at the first tile boundary with
@@ -69,7 +76,7 @@ def _nms_kernel(thresh, num_tiles, max_keep, rows_ref, keep_ref):
         # ops wide. Blocks may overhang past tile i: those keep flags are
         # still zero (keep_ref is zero-initialized and written in tile
         # order), so the overhang contributes nothing — no masking needed.
-        blkc = BLK_TILES * t
+        blkc = blk_tiles * t
 
         def earlier_block(j, acc):
             sj = pl.multiple_of(j * blkc, blkc)
@@ -155,7 +162,8 @@ def nms_pallas_sorted(
     """Keep mask (N,) bool for pre-sorted boxes; N padded inside to the
     kernel's 8*TILE cross-tile block width."""
     n0 = boxes_sorted.shape[0]
-    pad = (-n0) % (BLK_TILES * TILE)
+    blk = _blk_tiles()
+    pad = (-n0) % (blk * TILE)
     if pad:
         boxes_sorted = jnp.pad(boxes_sorted, ((0, pad), (0, 0)))
         valid_sorted = jnp.pad(valid_sorted, (0, pad))
@@ -174,7 +182,9 @@ def nms_pallas_sorted(
         axis=0,
     )  # (8, N)
 
-    kernel = partial(_nms_kernel, float(iou_threshold), num_tiles, max_keep)
+    kernel = partial(
+        _nms_kernel, float(iou_threshold), num_tiles, max_keep, blk
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((8, n), jnp.float32),

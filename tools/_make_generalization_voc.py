@@ -157,7 +157,13 @@ def main():
             os.makedirs(os.path.join(d, sub), exist_ok=True)
         ids = []
         for i in range(n):
-            fid = f"{fid_counter:06d}"
+            # real VOC2012 ids contain an underscore ("2008_000123") and
+            # the k-shot loader infers the year from that pattern
+            # (meta_voc.py:79, reference convention) — mimic it
+            fid = (
+                f"{fid_counter:06d}" if year == "2007"
+                else f"2012_{fid_counter:06d}"
+            )
             fid_counter += 1
             ids.append(fid)
             # first pass through the classes is round-robin so every

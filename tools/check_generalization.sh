@@ -30,14 +30,16 @@ export FSODTF_DATASETS=${DATA_ROOT}
 python tools/_make_generalization_voc.py --root ${DATA_ROOT} \
     --train-2007 120 --train-2012 60 --val 60 --shots 10 --seed 0
 
-# Calibrated floors (measured AP50 ~= see NOTES ledger; floors leave
-# >= 20 pts of margin for seed/platform noise while still failing hard
-# on regressions like a broken aug/transform or gradient contract).
+# Calibrated floors (2026-08-20, CPU tiny profile, seed 5 — NOTES
+# round-3 ledger: base held-out AP50 94.8 @800 iters; after gfsod
+# fine-tune bAP50 98.5 / nAP50 53.1 @500 iters). Floors leave >= 20 pts
+# of margin for seed/platform noise while still failing hard on
+# regressions like a broken aug/transform or gradient contract.
 BASE_AP50_FLOOR=${BASE_AP50_FLOOR:-60}
-NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-45}
-BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-55}
-ITERS_BASE=${ITERS_BASE:-400}
-ITERS_FT=${ITERS_FT:-300}
+NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-30}
+BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-70}
+ITERS_BASE=${ITERS_BASE:-800}
+ITERS_FT=${ITERS_FT:-500}
 
 # Tiny model profile: PRODUCTION regularizers and aug semantics at a
 # CI-able scale. No dropout/GDL/score-thresh overrides — those come
@@ -96,13 +98,22 @@ FT_GATE="[('bbox','nAP50',100.0,$((100-NOVEL_AP50_FLOOR))),('bbox','bAP50',100.0
 if [ "${GEN_SABOTAGE:-0}" != "1" ]; then
 echo "=== 4. gfsod 10-shot fine-tune (production gradient contract) ==="
 OUT=${SAVE_DIR}/10shot_seed0
+# PCB off HERE: with no ImageNet weights in this container its prototypes
+# are random-feature rescores — pure noise on the floor being pinned.
+# PCB-enabled evaluation stays covered by both workflow smokes and the
+# on-chip PCB check (NOTES round-3 ledger).
 python main.py --config-file ${CONFIG} \
     --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
     SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
     SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
-    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" \
+    TEST.PCB_ENABLE False \
     TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
+
+if [ "${GEN_SKIP_TEXT:-0}" = "1" ]; then
+    echo "GENERALIZATION GATE PASSED (held-out bAP50/nAP50 over floors; text leg skipped)"
+    exit 0
+fi
 
 echo "=== 5. text-head fine-tune (reference active-student recipe) ==="
 # The flagship text contribution generalizing to held-out images: the
@@ -139,7 +150,7 @@ python main.py --config-file ${CONFIG} \
     SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
     MODEL.RPN.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.BACKWARD_SCALE 1.0 \
     MODEL.ROI_HEADS.FREEZE_FEAT False \
-    TEST.PCB_ENABLE True TEST.PCB_MODELPATH "" \
+    TEST.PCB_ENABLE False \
     TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
 RC=$?
