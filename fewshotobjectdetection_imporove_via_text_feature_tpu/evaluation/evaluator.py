@@ -91,15 +91,22 @@ def inference_on_dataset(
     cache = _model_cache(model)
     apply_fn = cache["apply"]
 
+    # Painting meta-archs (Semantic/Text families) evaluate with test-time
+    # GT fed to the model — the reference's own eval protocol (its
+    # inference() passes gt_instances, rcnn.py:64-67, and its test mapper
+    # keeps annotations, dataset_mapper.py:146-150). GT-LEAKY by design;
+    # see PARITY. Plain archs keep gt out of evaluation entirely.
+    feed_gt = getattr(model, "eval_gt_role", "teacher") == "paint"
+
     # device-preprocess mode: fuse raw->resize into the inference program,
     # one compiled variant per target bucket
     raw_fns = cache["raw"]
 
-    def apply_raw(variables, images, short, flip, target_hw, max_size):
+    def apply_raw(variables, images, gt, short, flip, target_hw, max_size):
         fn = raw_fns.get((target_hw, max_size))
         if fn is None:
 
-            def run(v, im, sh, fl):
+            def run(v, im, g, sh, fl):
                 from ..data.xla_preprocess import device_resize_batch
 
                 resized, _ = device_resize_batch(
@@ -108,11 +115,13 @@ def inference_on_dataset(
                         target_hw[0] % 2 == 0 and target_hw[1] % 2 == 0
                     ),
                 )
-                return model.apply(v, im.replace(image=resized), train=False)
+                return model.apply(
+                    v, im.replace(image=resized), g, train=False
+                )
 
             fn = jax.jit(run)
             raw_fns[(target_hw, max_size)] = fn
-        return fn(variables, images, short, flip)
+        return fn(variables, images, gt, short, flip)
 
     # multi-host: slice batches round-robin across processes
     # (InferenceSampler semantics, ref dataloader/build.py:385) and
@@ -209,15 +218,19 @@ def inference_on_dataset(
             if pcount > 1 and i % pcount != pindex:
                 yield "skip", None, None, None
                 continue
+            gt_in = (gt,) if feed_gt else ()
             if "short" in meta:
-                images, short, flip = maybe_shard(
+                images, *rest = maybe_shard(
                     images,
-                    (np.asarray(meta["short"]), np.asarray(meta["flip"])),
+                    (*gt_in,
+                     np.asarray(meta["short"]), np.asarray(meta["flip"])),
                 )
-                yield "raw", images, (short, flip), meta
+                gt_d = rest[0] if feed_gt else None
+                yield "raw", images, (gt_d, *rest[-2:]), meta
             else:
-                (images,) = maybe_shard(images)
-                yield "plain", images, None, meta
+                images, *rest = maybe_shard(images, gt_in)
+                gt_d = rest[0] if feed_gt else None
+                yield "plain", images, (gt_d,), meta
 
     idx = 0
     for kind, images, extras, meta in Prefetcher(uploaded, maxsize=2):
@@ -227,14 +240,15 @@ def inference_on_dataset(
             idx += 1
             continue
         if kind == "raw":
-            short, flip = extras
+            gt_d, short, flip = extras
             det = apply_raw(
-                {"params": params}, images, short, flip,
+                {"params": params}, images, gt_d, short, flip,
                 tuple(meta["target_hw"]),
                 int(meta["max_size"]),
             )
         else:
-            det = apply_fn({"params": params}, images)
+            (gt_d,) = extras
+            det = apply_fn({"params": params}, images, gt_d)
         inflight.append(("det", det, meta, idx))
         drain(depth)
         idx += 1

@@ -252,7 +252,23 @@ class GeneralizedRCNN(nn.Module):
             std = jnp.tile(std, reps)
         return (image - mean) / std
 
-    def compute_features(self, images: ImageBatch):
+    # What a GT pytree passed at INFERENCE time means for this meta-arch
+    # (the reference's fork passes test-time gt_instances into
+    # _forward_once_ — rcnn.py:64-67 — and its test mapper deliberately
+    # keeps annotations, dataset_mapper.py:146-150):
+    #   "teacher": label proposals with GT and run the teacher head
+    #     (this build's teacher-evaluation tool; the plain arch ignores
+    #     gt in compute_features)
+    #   "paint":   fuse the GT-painted semantic/text map into the
+    #     features, like the reference's Semantic/Text eval protocol
+    #     (rcnn.py:154-206, 376-452; GT-LEAKY by design — see PARITY)
+    #   "none":    ignore gt at eval (Distillated: ref rcnn.py:235-237
+    #     passes None; its detection path uses raw res4)
+    eval_gt_role = "teacher"
+
+    def compute_features(self, images: ImageBatch, gt=None):
+        # `gt` is consumed by the painting meta-archs (text_heads.py);
+        # the plain arch ignores it
         x = self.normalize(images.image)
         if self.spatial_axis is not None:
             # shard the image H axis: the whole backbone then runs
@@ -464,15 +480,18 @@ class GeneralizedRCNN(nn.Module):
     def forward_inference(
         self, images: ImageBatch, gt: Optional[GTInstances] = None
     ) -> Detections:
-        feat, _ = self.compute_features(images)
+        paint_gt = gt if self.eval_gt_role == "paint" else None
+        feat, _ = self.compute_features(images, gt=paint_gt)
         feat_rpn, feat_rcnn = self.branch_features(feat)
         _, _, _, proposals = self.run_rpn(feat_rpn, images, train=False)
 
         # Teacher evaluation: when GT is provided at test time, label every
         # proposal with its matched class (no sampling) so the text-guided
         # teacher head can run (ref label_proposals, roi_heads.py:677-713).
+        # Painting meta-archs consume gt in compute_features instead and
+        # keep the reference's student-only head routing.
         head_kwargs = {}
-        if gt is not None:
+        if gt is not None and self.eval_gt_role == "teacher":
             from ..ops import match_proposals, pairwise_iou
 
             def label_img(pboxes, pvalid, g):

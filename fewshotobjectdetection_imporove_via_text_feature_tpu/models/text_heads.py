@@ -307,7 +307,20 @@ class TextRes5ROIHeads(Res5ROIHeads):
 # --------------------------------------------------------------------------
 class GeneralizedSemanticRCNN(GeneralizedRCNN):
     """Replaces backbone features with projected semantic maps
-    (ref rcnn.py:121-206)."""
+    (ref rcnn.py:121-206).
+
+    EVAL PROTOCOL (parity-faithful, GT-LEAKY): the reference's inference
+    passes test-time gt_instances into _forward_once_ (rcnn.py:64-67;
+    its test mapper keeps annotations, dataset_mapper.py:146-150), so
+    the semantic map is painted from GROUND-TRUTH boxes during
+    evaluation. This build mirrors that (eval_gt_role = "paint"; the
+    evaluator feeds GT to painting meta-archs) because the family's
+    detection features ARE the painted map — without GT there is
+    nothing to detect from. Serving (DefaultPredictor, no GT) falls
+    back to raw visual features. See PARITY deviations.
+    """
+
+    eval_gt_role = "paint"
 
     class_embed: Any = None  # np (C, sem)
     semantic_dim: int = 300
@@ -345,6 +358,10 @@ class GeneralizedDistillatedRCNN(GeneralizedSemanticRCNN):
     """Multi-scale vis->sem MSE distillation on res2..res4
     (ref rcnn.py:209-321); detection path uses raw res4 features."""
 
+    # ref rcnn.py:235-237: Distillated.inference passes gt=None — its
+    # detection path is raw res4 in train AND eval (no paint, no leak)
+    eval_gt_role = "none"
+
     adding_variant: bool = False  # GeneralizedDistillatedAddingRCNN
 
     def setup(self):
@@ -375,7 +392,22 @@ class GeneralizedDistillatedRCNN(GeneralizedSemanticRCNN):
 
 class GeneralizedTextRCNN(GeneralizedRCNN):
     """Concat text-embedding map with features + linear proj to RPN input
-    (ref rcnn.py:359-452)."""
+    (ref rcnn.py:359-452).
+
+    EVAL PROTOCOL (parity-faithful, GT-LEAKY): like the reference, the
+    text map is painted from test-time GT boxes during evaluation
+    (rcnn.py:64-67 passes gt_instances; the fork's test mapper keeps
+    annotations). Unlike the Semantic family the concat keeps the
+    visual features, so when NO GT exists (serving) this build paints
+    an ALL-BACKGROUND map and still runs the same fuse projection —
+    keeping eval features in the training distribution (the reference
+    CRASHES on instance-less inputs: rcnn.py:66 list-comps over
+    x["instances"]). Before this fallback, raw un-fused features went
+    to heads trained only on fused ones: confident-garbage detections
+    (held-out AP 0.0; NOTES round-3).
+    """
+
+    eval_gt_role = "paint"
 
     class_embed: Any = None  # np (C, sem)
     semantic_dim: int = 300
@@ -388,8 +420,14 @@ class GeneralizedTextRCNN(GeneralizedRCNN):
         )
         self.to_rpn_input_proj = nn.Dense(c4, name="to_rpn_input_proj")
 
-    def fuse_text(self, feat, gt):
-        sem = paint_semantic_map(
+    def text_map(self, feat, gt):
+        if gt is None:  # serving: no GT — every cell is background
+            b, h, w, _ = feat.shape
+            return jnp.broadcast_to(
+                jnp.reshape(self.bg_feature, (1, 1, 1, -1)),
+                (b, h, w, self.semantic_dim),
+            )
+        return paint_semantic_map(
             gt,
             jnp.asarray(self.class_embed, jnp.float32),
             self.bg_feature,
@@ -397,6 +435,9 @@ class GeneralizedTextRCNN(GeneralizedRCNN):
             stride=self.anchor_stride,
             inclusive_end=True,  # Text _expand_bbox ends at floor(x2)+1
         )
+
+    def fuse_text(self, feat, gt):
+        sem = self.text_map(feat, gt)
         fused = jnp.concatenate(
             [feat.astype(jnp.float32), sem], axis=-1
         )
@@ -404,8 +445,7 @@ class GeneralizedTextRCNN(GeneralizedRCNN):
 
     def compute_features(self, images, gt=None):
         feat, feats = super().compute_features(images)
-        if gt is not None:
-            feat = self.fuse_text(feat, gt)
+        feat = self.fuse_text(feat, gt)
         return feat, feats
 
     def forward_train(self, images, gt):
@@ -430,14 +470,7 @@ class GeneralizedTextAttRCNN(GeneralizedTextRCNN):
 
     def fuse_text(self, feat, gt):
         b, h, w, c = feat.shape
-        sem = paint_semantic_map(
-            gt,
-            jnp.asarray(self.class_embed, jnp.float32),
-            self.bg_feature,
-            (h, w),
-            stride=self.anchor_stride,
-            inclusive_end=True,  # Text _expand_bbox ends at floor(x2)+1
-        )
+        sem = self.text_map(feat, gt)  # all-bg fallback when gt is None
         text = self.LtoVproj(sem)  # (B, H, W, C)
         vis = feat.astype(jnp.float32)
         value = self.attproj(jnp.concatenate([vis, text], axis=-1))

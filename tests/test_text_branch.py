@@ -393,3 +393,81 @@ def test_l2_cosine_switches_student_feature_loss():
         vals[cos] = float(losses["loss_student_feat"])
     assert vals[True] <= 2.0 + 1e-6  # mean of (1 - cos) in [0, 2]
     assert vals[True] != vals[False]
+
+
+def test_text_meta_arch_eval_paints_gt_and_falls_back_to_bg():
+    """Train/eval feature-distribution parity for GeneralizedTextRCNN
+    (round-3 bug found by the held-out gate: eval used raw un-fused
+    features the heads never saw in training -> confident-garbage
+    detections, held-out AP 0.0).
+
+    Contract mirrored from the reference: its inference passes test-time
+    gt_instances into _forward_once_ (rcnn.py:64-67) so the text map is
+    GT-painted at eval (eval_gt_role="paint"); without GT (serving) this
+    build paints an ALL-BG map through the SAME fuse projection instead
+    of skipping fusion (the reference crashes on instance-less inputs).
+    """
+    model = GeneralizedTextRCNN(
+        class_embed=bank(), bg_embed=bg(), semantic_dim=SEM_DIM, **TINY
+    )
+    assert model.eval_gt_role == "paint"
+    images, gt = tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(model.init, train=True))(
+        rngs, images, gt
+    )
+    det_paint = jax.jit(functools.partial(model.apply, train=False))(
+        params, images, gt
+    )
+    det_bg = jax.jit(functools.partial(model.apply, train=False))(
+        params, images
+    )
+    # painted vs bg-map features flow into everything downstream
+    assert not np.allclose(
+        np.asarray(det_paint.scores), np.asarray(det_bg.scores)
+    )
+    # the features handed to RPN/heads at eval go through fuse_text in
+    # BOTH modes (never the raw backbone features)
+    feat_bg, _ = model.apply(
+        params, images, method=lambda m, im: m.compute_features(im)
+    )
+    feat_raw, _ = model.apply(
+        params, images,
+        method=lambda m, im: GeneralizedRCNN.compute_features(m, im),
+    )
+    assert not np.allclose(np.asarray(feat_bg), np.asarray(feat_raw))
+
+
+def test_eval_gt_roles():
+    """Distillated ignores eval gt (ref rcnn.py:235-237 passes None);
+    Semantic paints; the plain arch keeps the teacher-eval role."""
+    assert GeneralizedSemanticRCNN.eval_gt_role == "paint"
+    assert GeneralizedTextAttRCNN.eval_gt_role == "paint"
+    assert GeneralizedDistillatedRCNN.eval_gt_role == "none"
+    assert GeneralizedRCNN.eval_gt_role == "teacher"
+
+    model = GeneralizedDistillatedRCNN(
+        class_embed=bank(), bg_embed=bg(), semantic_dim=SEM_DIM, **TINY
+    )
+    images, gt = tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(model.init, train=True))(
+        rngs, images, gt
+    )
+    det_gt = jax.jit(functools.partial(model.apply, train=False))(
+        params, images, gt
+    )
+    det_none = jax.jit(functools.partial(model.apply, train=False))(
+        params, images
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_gt.scores), np.asarray(det_none.scores)
+    )
