@@ -151,6 +151,8 @@ def main():
         ("2007", "test"): args.val,
     }
     fid_counter = 0
+    train_idx = 0  # global across years: the round-robin must cover all
+    # classes even when per-year counts are small (soak uses 16+8)
     for (year, split), n in counts.items():
         d = os.path.join(args.root, f"VOC{year}")
         for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
@@ -168,8 +170,8 @@ def main():
             ids.append(fid)
             # first pass through the classes is round-robin so every
             # class has enough train instances for a 10-shot file
-            if split == "trainval" and i < len(classes) * 2:
-                forced = classes[i % len(classes)]
+            if split == "trainval" and train_idx < len(classes) * 2:
+                forced = classes[train_idx % len(classes)]
                 img, placed = _place_objects(
                     rng, [forced], colors, n_obj=1
                 )
@@ -188,14 +190,12 @@ def main():
                 img, placed = _place_objects(rng, classes, colors, 1)
             _write_image(d, fid, img, placed)
             if split == "trainval":
+                train_idx += 1
                 seen = set()
                 for name, *_ in placed:
                     if name not in seen:
                         by_class[name].append((year, fid))
                         seen.add(name)
-        mode = "a" if os.path.exists(
-            os.path.join(d, "ImageSets/Main", split + ".txt")
-        ) else "w"
         with open(
             os.path.join(d, "ImageSets", "Main", split + ".txt"), "w"
         ) as f:

@@ -11,10 +11,10 @@
 # overfitting-friendly bug can pass.
 #
 #   bash tools/check_generalization.sh [SAVE_DIR]
-#   GEN_SABOTAGE=1 bash tools/check_generalization.sh   # discrimination
-#     proof: runs the fine-tune with the gradient contract broken
-#     (BACKWARD_SCALE 1.0, FREEZE_FEAT False) and asserts the held-out
-#     gate CATCHES it (the gated run must FAIL).
+#   GEN_SKIP_TEXT=1 ...     # flagship path only (what the CI test runs)
+#   GEN_SABOTAGE=1 ...      # discrimination proof: same-seed clean-vs-
+#     broken-contract A/B (BACKWARD_SCALE 1.0, FREEZE_FEAT False) must
+#     show the sabotaged arm losing >= SAB_MARGIN held-out bAP50.
 #
 # Reference protocol: run_voc.sh:25-44;
 # defrcn/evaluation/pascal_voc_evaluation.py:131-148.
@@ -145,23 +145,40 @@ python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     2>&1 | tee ${OUTT}.log
 echo "GENERALIZATION GATE PASSED (held-out floors: flagship base/ft + text)"
 else
-echo "=== 4S. SABOTAGED fine-tune: contract broken, the gate must FAIL ==="
-OUT=${SAVE_DIR}/10shot_seed0_sabotage
-set +e
-python main.py --config-file ${CONFIG} \
-    --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
-    SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
-    SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
-    MODEL.RPN.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.BACKWARD_SCALE 1.0 \
-    MODEL.ROI_HEADS.FREEZE_FEAT False \
-    TEST.PCB_ENABLE False \
-    TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
-    2>&1 | tee ${OUT}.log
-RC=$?
-set -e
-if [ ${RC} -eq 0 ]; then
-    echo "SABOTAGE NOT DETECTED: the broken gradient contract passed the gate"
-    exit 1
-fi
-echo "SABOTAGE DETECTED (gate failed as it must, rc=${RC})"
+echo "=== 4S. contract A/B: clean vs sabotaged fine-tune (same seed) ==="
+# Discrimination proof for the GDL gradient contract. On this easy
+# synthetic task a broken contract degrades held-out base AP by single
+# digits (calibrated 2026-08-20: 10-shot clean/sab bAP50 98.5/91.8;
+# 1-shot 92.8/84.0), not below any noise-safe absolute floor — so the
+# proof is a SAME-SEED A/B: the sabotaged run (BACKWARD_SCALE 1.0,
+# FREEZE_FEAT False, everything else identical) must lose >= SAB_MARGIN
+# held-out bAP50 vs the clean contract.
+SAB_MARGIN=${SAB_MARGIN:-3}
+for arm in clean sab; do
+    OUT=${SAVE_DIR}/ab_${arm}
+    EXTRA=""
+    if [ "$arm" = "sab" ]; then
+        EXTRA="MODEL.RPN.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.FREEZE_FEAT False"
+    fi
+    python main.py --config-file ${CONFIG} \
+        --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
+        SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
+        SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
+        TEST.PCB_ENABLE False ${EXTRA} ${TINY_OPTS} \
+        2>&1 | tee ${OUT}.log
+done
+python - <<EOF
+import re
+def bap50(path):
+    rows = [l for l in open(path) if "copypaste:" in l and "," in l]
+    vals = rows[-1].split("copypaste:")[-1].strip().split(",")
+    return float(vals[4])  # AP,AP50,AP75,bAP,bAP50,...
+clean = bap50("${SAVE_DIR}/ab_clean.log")
+sab = bap50("${SAVE_DIR}/ab_sab.log")
+print(f"held-out bAP50: clean={clean:.2f} sabotaged={sab:.2f} "
+      f"delta={clean-sab:.2f} (margin ${SAB_MARGIN})")
+assert clean - sab >= ${SAB_MARGIN}, "contract sabotage NOT detected"
+print("SABOTAGE DETECTED: the gradient contract measurably protects "
+      "held-out base AP")
+EOF
 fi

@@ -111,8 +111,10 @@ def main():
     os.makedirs(save, exist_ok=True)
     data_root = os.path.join(save, "datasets")
     subprocess.run(
+        # base1 trains on BOTH years' trainval splits — 2012 must be
+        # non-empty or the loader fails fast
         [sys.executable, "tools/_make_generalization_voc.py",
-         "--root", data_root, "--train-2007", "24", "--train-2012", "0",
+         "--root", data_root, "--train-2007", "16", "--train-2012", "8",
          "--val", "4", "--shots", "1"],
         cwd=REPO, check=True,
     )
