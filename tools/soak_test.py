@@ -127,11 +127,13 @@ def main():
         env["FSODTF_PLATFORM"] = "cpu"
         env.pop("JAX_PLATFORMS", None)
 
-    cmd = [
+    base_cmd = [
         sys.executable, "main.py",
         "--config-file", "configs/voc/defrcn_det_r101_base1.yaml",
-        "--opts", *_opts(args, out),
     ]
+    # --resume must precede --opts (argparse gives --opts every later token)
+    cmd = base_cmd + ["--opts", *_opts(args, out)]
+    resume_cmd = base_cmd + ["--resume", "--opts", *_opts(args, out)]
 
     # ---- leg 1: train, SIGTERM once metrics pass the preempt iteration
     print(f"[soak] leg 1: {args.iters} iters, SIGTERM at ~{args.preempt_at}")
@@ -168,7 +170,7 @@ def main():
     t1 = time.time()
     with open(os.path.join(save, "leg2.log"), "w") as logf:
         rc = subprocess.run(
-            cmd + ["--resume"], cwd=REPO, env=env, stdout=logf,
+            resume_cmd, cwd=REPO, env=env, stdout=logf,
             stderr=subprocess.STDOUT, timeout=args.timeout,
         ).returncode
     assert rc == 0, f"leg 2 rc={rc}"

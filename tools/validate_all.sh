@@ -49,6 +49,12 @@ run_step "dryrun_multichip(8)" \
 if [ "$FULL" = 1 ]; then
     run_step "full pytest suite" \
         timeout 3600 python -m pytest tests/ -q
+    # held-out generalization gate, flagship + text legs (~20 min CPU;
+    # the pytest suite already runs the flagship path via
+    # test_generalization_gate — this adds the text leg)
+    run_step "held-out generalization gate" \
+        env FSODTF_PLATFORM=cpu timeout 4500 \
+        bash tools/check_generalization.sh /tmp/validate_gen
 fi
 
 # TPU-side artifacts
