@@ -31,14 +31,15 @@ python tools/_make_generalization_voc.py --root ${DATA_ROOT} \
     --train-2007 120 --train-2012 60 --val 60 --shots 10 --seed 0
 
 # Calibrated floors (2026-08-20, CPU tiny profile, seed 5 — NOTES
-# round-3 ledger: base held-out AP50 94.8 @800 iters; after gfsod
-# fine-tune bAP50 98.5 / nAP50 53.1 @500 iters). Floors leave >= 20 pts
-# of margin for seed/platform noise while still failing hard on
+# round-3 ledger: base held-out AP50 92.7 @1200 iters lr 0.01; after
+# gfsod fine-tune bAP50 91.7 / nAP50 76.9 @500 iters; an independent
+# dataset redraw measured 98.5/53.1). Floors leave >= 20 pts of margin
+# for seed/dataset-draw/platform noise while still failing hard on
 # regressions like a broken aug/transform or gradient contract.
 BASE_AP50_FLOOR=${BASE_AP50_FLOOR:-60}
 NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-30}
 BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-70}
-ITERS_BASE=${ITERS_BASE:-800}
+ITERS_BASE=${ITERS_BASE:-1200}
 ITERS_FT=${ITERS_FT:-500}
 
 # Tiny model profile: PRODUCTION regularizers and aug semantics at a
@@ -54,15 +55,18 @@ TPU.IMAGE_BUCKETS ((288,384),) TPU.MAX_GT 10 TPU.MAX_DETECTIONS_PRE_NMS 128
 TPU.COMPUTE_DTYPE float32
 INPUT.MIN_SIZE_TRAIN (224,256,288) INPUT.MAX_SIZE_TRAIN 384
 INPUT.MIN_SIZE_TEST 288 INPUT.MAX_SIZE_TEST 384
-SOLVER.IMS_PER_BATCH 8 SOLVER.WARMUP_ITERS 50
+SOLVER.IMS_PER_BATCH 8
 SOLVER.CHECKPOINT_PERIOD 0 SEED 5"
 
 if [ "${GEN_SABOTAGE:-0}" != "1" ]; then
 echo "=== 1. base training (15 base classes, held-out eval) ==="
+# lr 0.01 + warmup 100: lr 0.02 at this scale is a convergence coin
+# flip (a dataset redraw measured AP50 94.8 vs 44.0 at the same seed);
+# 0.01 landed 92.7 on the redrawn data (NOTES round-3)
 python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     --opts MODEL.WEIGHTS "" SOLVER.MAX_ITER ${ITERS_BASE} \
     SOLVER.STEPS "($((ITERS_BASE*3/4)),$((ITERS_BASE*9/10)))" \
-    SOLVER.BASE_LR 0.02 \
+    SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 100 \
     TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-BASE_AP50_FLOOR)))]" \
     OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
 
@@ -79,7 +83,8 @@ else
     python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
         --opts MODEL.WEIGHTS "" SOLVER.MAX_ITER ${ITERS_BASE} \
         SOLVER.STEPS "($((ITERS_BASE*3/4)),$((ITERS_BASE*9/10)))" \
-        SOLVER.BASE_LR 0.02 TEST.EVAL_PERIOD 0 DATASETS.TEST "()" \
+        SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 100 \
+        TEST.EVAL_PERIOD 0 DATASETS.TEST "()" \
         OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
     python tools/model_surgery.py --dataset voc --method randinit \
         --src-path ${SAVE_DIR}/base1/model_final.ckpt \
@@ -105,7 +110,7 @@ OUT=${SAVE_DIR}/10shot_seed0
 python main.py --config-file ${CONFIG} \
     --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
     SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
-    SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
+    SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 50 OUTPUT_DIR ${OUT} \
     TEST.PCB_ENABLE False \
     TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
@@ -127,7 +132,7 @@ echo "=== 5. text-family base training (reference teacher recipe) ==="
 # exactly the round-3 bug this leg caught). Calibrated: AP50 45.9 at
 # 800 CPU iters (100.0 at 4000 TPU iters); floor 25.
 TEXT_AP50_FLOOR=${TEXT_AP50_FLOOR:-25}
-ITERS_TEXT=${ITERS_TEXT:-800}
+ITERS_TEXT=${ITERS_TEXT:-1200}
 OUTT=${SAVE_DIR}/text_base
 python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     --opts MODEL.WEIGHTS "" \
@@ -139,7 +144,7 @@ python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     MODEL.ROI_HEADS.DISTILLATE False \
     SOLVER.MAX_ITER ${ITERS_TEXT} \
     SOLVER.STEPS "($((ITERS_TEXT*3/4)),$((ITERS_TEXT*9/10)))" \
-    SOLVER.BASE_LR 0.02 OUTPUT_DIR ${OUTT} \
+    SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 100 OUTPUT_DIR ${OUTT} \
     TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-TEXT_AP50_FLOOR)))]" \
     ${TINY_OPTS} \
     2>&1 | tee ${OUTT}.log
@@ -148,12 +153,13 @@ else
 echo "=== 4S. contract A/B: clean vs sabotaged fine-tune (same seed) ==="
 # Discrimination proof for the GDL gradient contract. On this easy
 # synthetic task a broken contract degrades held-out base AP by single
-# digits (calibrated 2026-08-20: 10-shot clean/sab bAP50 98.5/91.8;
-# 1-shot 92.8/84.0), not below any noise-safe absolute floor — so the
-# proof is a SAME-SEED A/B: the sabotaged run (BACKWARD_SCALE 1.0,
+# digits (calibrated 2026-08-20: 10-shot clean/sab bAP50 91.7/88.3 and
+# 98.5/91.8 on an independent dataset draw; the sabotaged arm's NOVEL
+# AP can move either way), not below any noise-safe absolute floor — so
+# the proof is a SAME-SEED A/B: the sabotaged run (BACKWARD_SCALE 1.0,
 # FREEZE_FEAT False, everything else identical) must lose >= SAB_MARGIN
-# held-out bAP50 vs the clean contract.
-SAB_MARGIN=${SAB_MARGIN:-3}
+# held-out bAP50 vs the clean contract (measured deltas 3.5 and 6.7).
+SAB_MARGIN=${SAB_MARGIN:-2}
 for arm in clean sab; do
     OUT=${SAVE_DIR}/ab_${arm}
     EXTRA=""
@@ -163,7 +169,7 @@ for arm in clean sab; do
     python main.py --config-file ${CONFIG} \
         --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
         SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
-        SOLVER.BASE_LR 0.01 OUTPUT_DIR ${OUT} \
+        SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 50 OUTPUT_DIR ${OUT} \
         TEST.PCB_ENABLE False ${EXTRA} ${TINY_OPTS} \
         2>&1 | tee ${OUT}.log
 done
