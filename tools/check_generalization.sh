@@ -93,10 +93,15 @@ fi
 fi
 
 echo "=== 3. create per-seed config ==="
-python tools/create_config.py --dataset voc --config_root configs/voc \
+# write into a throwaway config root: generating under configs/voc would
+# race tests that enumerate the shipped tree (and dirty the checkout)
+CFG_ROOT=${SAVE_DIR}/cfgs
+mkdir -p ${CFG_ROOT}/voc
+cp configs/Base-RCNN.yaml ${CFG_ROOT}/
+cp configs/voc/defrcn_gfsod_r101_novelx_10shot_seedx.yaml ${CFG_ROOT}/voc/
+python tools/create_config.py --dataset voc --config_root ${CFG_ROOT}/voc \
     --shot 10 --seed 0 --setting gfsod --split 1
-CONFIG=configs/voc/defrcn_gfsod_r101_novel1_10shot_seed0.yaml
-trap "rm -f ${CONFIG}" EXIT
+CONFIG=${CFG_ROOT}/voc/defrcn_gfsod_r101_novel1_10shot_seed0.yaml
 
 FT_GATE="[('bbox','nAP50',100.0,$((100-NOVEL_AP50_FLOOR))),('bbox','bAP50',100.0,$((100-BASE_AFTER_FT_FLOOR)))]"
 
