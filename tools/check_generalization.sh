@@ -134,8 +134,9 @@ echo "=== 5. text-family base training (reference teacher recipe) ==="
 # painted into the text map (rcnn.py:64-67 + its keep-annotations test
 # mapper) — GT-LEAKY by design, see PARITY. The gate still catches
 # broken fusion/painting/attention wiring (a mis-fused eval scores ~0:
-# exactly the round-3 bug this leg caught). Calibrated: AP50 45.9 at
-# 800 CPU iters (100.0 at 4000 TPU iters); floor 25.
+# exactly the round-3 bug this leg caught). Calibrated: AP50 92.3 at
+# 1200 CPU iters lr 0.01 (45.9 at the unstable lr-0.02/800 recipe;
+# 100.0 at 4000 TPU iters); floor 25.
 TEXT_AP50_FLOOR=${TEXT_AP50_FLOOR:-25}
 ITERS_TEXT=${ITERS_TEXT:-1200}
 OUTT=${SAVE_DIR}/text_base
