@@ -259,6 +259,16 @@ class DatasetMapper:
         # ever sees the cropped extent as the "original" image)
         if plan.get("crop") is not None:
             y0, x0, ch, cw = plan["crop"]
+            # With a crop plan, bucket/(bh,bw) derive from the crop extent,
+            # so the bucket guard below can't see a stale height/width
+            # record — validate the decoded size against the plan directly
+            # (a numpy slice would silently shrink instead of erroring)
+            if y0 + ch > h0 or x0 + cw > w0:
+                raise ValueError(
+                    f"{record['file_name']}: decoded size ({h0}, {w0}) is "
+                    f"smaller than the planned crop {plan['crop']} — fix "
+                    f"the dataset's height/width fields"
+                )
             arr = arr[y0 : y0 + ch, x0 : x0 + cw]
             h0, w0 = ch, cw
             if len(boxes):
@@ -316,6 +326,18 @@ class DatasetMapper:
 
         # effective resize source = the crop extent when INPUT.CROP is on
         cropplan = plan.get("crop")
+        if cropplan is not None:
+            # bucket below derives from the crop extent, not the decoded
+            # size — a stale height/width record would otherwise yield a
+            # PIL zero-padded crop with boxes in the wrong frame; validate
+            # the decoded size against the plan explicitly
+            cy0, cx0, cch, ccw = cropplan
+            if cy0 + cch > h0 or cx0 + ccw > w0:
+                raise ValueError(
+                    f"{record['file_name']}: decoded size ({h0}, {w0}) is "
+                    f"smaller than the planned crop {cropplan} — fix the "
+                    f"dataset's height/width fields"
+                )
         eh, ew = (cropplan[2], cropplan[3]) if cropplan else (h0, w0)
 
         short = plan["short"]

@@ -336,14 +336,27 @@ class GeneralizedSemanticRCNN(GeneralizedRCNN):
 
     def compute_features(self, images, gt=None):
         feat, feats = super().compute_features(images)
-        if gt is not None and self.class_embed is not None:
-            sem = paint_semantic_map(
-                gt,
-                jnp.asarray(self.class_embed, jnp.float32),
-                self.bg_feature,
-                (feat.shape[1], feat.shape[2]),
-                stride=self.anchor_stride,
-            )
+        if self.class_embed is not None:
+            if gt is None:
+                # Serving (no GT): paint an ALL-BACKGROUND map through
+                # the same sem2vis_proj so features stay in the training
+                # distribution — mirrors GeneralizedTextRCNN.text_map's
+                # all-bg fallback. Raw backbone features would go to
+                # heads trained only on projected painted maps (the
+                # 'confident garbage' failure, NOTES round-3 / ADVICE r3).
+                b, h, w, _ = feat.shape
+                sem = jnp.broadcast_to(
+                    jnp.reshape(self.bg_feature, (1, 1, 1, -1)),
+                    (b, h, w, self.semantic_dim),
+                )
+            else:
+                sem = paint_semantic_map(
+                    gt,
+                    jnp.asarray(self.class_embed, jnp.float32),
+                    self.bg_feature,
+                    (feat.shape[1], feat.shape[2]),
+                    stride=self.anchor_stride,
+                )
             feat = self.sem2vis_proj(sem).astype(feat.dtype)
         return feat, feats
 
@@ -370,6 +383,12 @@ class GeneralizedDistillatedRCNN(GeneralizedSemanticRCNN):
             scale: nn.Dense(self.semantic_dim, name=f"vis2sem_{scale}")
             for scale in ("res2", "res3", "res4")
         }
+
+    def compute_features(self, images, gt=None):
+        # The Distillated family's detection heads are trained on RAW
+        # res4 (forward_train above) — no paint at eval/serving either
+        # (unlike the Semantic parent's all-bg serving paint)
+        return GeneralizedRCNN.compute_features(self, images)
 
     def forward_train(self, images, gt):
         feat, feats = GeneralizedRCNN.compute_features(self, images)

@@ -34,13 +34,27 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 
 
+_LOGGED_BLK = set()
+
+
 def _blk_tiles() -> int:
     """Cross-tile sweep block width in tiles. 8 and 16 measured equal at
     N=12000 (round-1); FSODTF_NMS_BLK exists for on-chip A/B sweeps
-    (read at trace time — each jit program bakes the value it saw)."""
+    (read at TRACE time — each jit program bakes the value it saw;
+    changing the env var after a program compiled has no effect on it)."""
+    import logging
     import os
 
-    return int(os.environ.get("FSODTF_NMS_BLK", "8"))
+    raw = os.environ.get("FSODTF_NMS_BLK", "8")
+    blk = int(raw)
+    if blk < 1:
+        raise ValueError(f"FSODTF_NMS_BLK must be >= 1, got {raw!r}")
+    if blk not in _LOGGED_BLK:  # once per width: lets A/B runs confirm
+        _LOGGED_BLK.add(blk)    # which block width a program actually baked
+        logging.getLogger(__name__).info(
+            "Pallas NMS tracing with cross-tile block width %d tiles", blk
+        )
+    return blk
 
 
 def _nms_kernel(thresh, num_tiles, max_keep, blk_tiles, rows_ref, keep_ref):

@@ -543,3 +543,34 @@ def test_mapper_crop_device_preprocess_path(tmp_path):
     )
     # plan bucket agrees with the decode-time bucket (lockstep contract)
     assert plan["bucket"] == item["bucket"]
+
+
+def test_mapper_crop_stale_metadata_raises(tmp_path):
+    """ADVICE r3: with INPUT.CROP, bucket validation derives from the crop
+    extent, so a stale height/width record can't be caught by the bucket
+    guard — both decode paths must validate the decoded size against the
+    planned crop explicitly instead of silently zero-padding (host/PIL)
+    or broadcast-crashing (device-preprocess)."""
+    d, ids = make_voc(str(tmp_path))
+    classes = PASCAL_VOC_ALL_CATEGORIES[1]
+    dicts = load_filtered_voc_instances(
+        "voc_2007_trainval_all1", d, "trainval", classes, root=str(tmp_path)
+    )
+    rec = dict(dicts[0])  # true decoded size 300x220 (w x h)
+    # claim the image is much larger than it is: the crop plan drawn from
+    # the metadata can exceed the decoded extent
+    rec["height"], rec["width"] = 600, 600
+    for device_preprocess in (False, True):
+        mapper = DatasetMapper(
+            is_train=True,
+            min_size=(128,),
+            max_size=256,
+            buckets=[(192, 256)],
+            raw_buckets=[(640, 640)] if device_preprocess else (),
+            max_gt=10,
+            random_flip=False,
+            crop=("absolute", (400, 500)),
+            device_preprocess=device_preprocess,
+        )
+        with pytest.raises(ValueError, match="smaller than the planned crop"):
+            mapper(rec, np.random.RandomState(0))

@@ -471,3 +471,66 @@ def test_eval_gt_roles():
     np.testing.assert_allclose(
         np.asarray(det_gt.scores), np.asarray(det_none.scores)
     )
+
+
+def test_semantic_meta_arch_serving_paints_all_bg():
+    """GeneralizedSemanticRCNN serving fallback (ADVICE r3): with gt=None
+    the features handed to RPN/heads must be sem2vis_proj(all-background
+    map) — the training distribution — NOT raw backbone features (the
+    heads never saw those; same 'confident garbage' failure the Text
+    family's all-bg fallback fixed). The Distillated subclass keeps raw
+    features in all modes (its heads are trained on raw res4,
+    ref rcnn.py:235-237)."""
+    model = GeneralizedSemanticRCNN(
+        class_embed=bank(), bg_embed=bg(), semantic_dim=SEM_DIM, **TINY
+    )
+    images, gt = tiny_batch()
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    params = jax.jit(functools.partial(model.init, train=True))(
+        rngs, images, gt
+    )
+    feat_serving, _ = model.apply(
+        params, images, method=lambda m, im: m.compute_features(im)
+    )
+    feat_raw, _ = model.apply(
+        params, images,
+        method=lambda m, im: GeneralizedRCNN.compute_features(m, im),
+    )
+    # serving features are the projected all-bg paint, not raw backbone
+    assert not np.allclose(np.asarray(feat_serving), np.asarray(feat_raw))
+    # they equal painting an empty (all-invalid) GT explicitly
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.structures import (
+        GTInstances,
+    )
+
+    empty = GTInstances(
+        boxes=jnp.zeros_like(gt.boxes),
+        classes=jnp.zeros_like(gt.classes),
+        valid=jnp.zeros_like(gt.valid),
+    )
+    feat_empty, _ = model.apply(
+        params, images, method=lambda m, im: m.compute_features(im, empty)
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat_serving), np.asarray(feat_empty), atol=1e-6
+    )
+
+    # the Distillated subclass keeps raw features even with gt given
+    dmodel = GeneralizedDistillatedRCNN(
+        class_embed=bank(), bg_embed=bg(), semantic_dim=SEM_DIM, **TINY
+    )
+    dparams = jax.jit(functools.partial(dmodel.init, train=True))(
+        rngs, images, gt
+    )
+    dfeat, _ = dmodel.apply(
+        dparams, images, method=lambda m, im: m.compute_features(im)
+    )
+    dfeat_raw, _ = dmodel.apply(
+        dparams, images,
+        method=lambda m, im: GeneralizedRCNN.compute_features(m, im),
+    )
+    np.testing.assert_allclose(np.asarray(dfeat), np.asarray(dfeat_raw))
