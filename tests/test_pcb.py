@@ -2,6 +2,7 @@
 the same activations as one-image-at-a-time calls, and execute_calibration
 must equal per-image calibrate_image (ref calibration_layer.py:96-124)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -146,3 +147,152 @@ def test_colliding_image_ids_across_test_datasets(pcb, tmp_path):
         assert not np.allclose(got["scores"], det["scores"])
     finally:
         pcb._ambiguous.discard(image_id)
+
+
+# ---------------------------------------------------------------------------
+# Sign-correctness with STRUCTURED (class-separable) features — VERDICT r3
+# task 6. The production on-chip check runs a random R-101 whose cosines
+# are near-uniform (proves plumbing, not direction); here the REAL pipeline
+# (decode -> pad/bucket -> normalize -> ResNet -> ROIAlign 1x1 @1/32 -> fc)
+# runs with an fc constructed to separate the synthetic classes — the role
+# ImageNet pretraining plays in production (calibration_layer.py:106-124).
+# ---------------------------------------------------------------------------
+_SEP_COLORS = np.array(
+    [[220, 40, 40], [40, 220, 40], [40, 40, 220]], np.uint8
+)
+
+
+def _write_sep_images(root):
+    """6 images, 160x160 gray background, two 60x50 class patches each
+    (classes cycle; deterministic per-instance texture jitter)."""
+    from PIL import Image as PILImage
+
+    records = []
+    for i in range(6):
+        rng = np.random.RandomState(100 + i)
+        img = np.full((160, 160, 3), 180, np.uint8)
+        annos = []
+        for j in range(2):
+            c = (i + j) % 3
+            y0 = 15 + 75 * j
+            x0 = 20 + 30 * (i % 3)
+            patch = np.tile(_SEP_COLORS[c], (50, 60, 1)).astype(np.int16)
+            patch += rng.randint(-15, 16, patch.shape)
+            img[y0 : y0 + 50, x0 : x0 + 60] = np.clip(patch, 0, 255)
+            annos.append(
+                {
+                    "bbox": [x0, y0, x0 + 60, y0 + 50],
+                    "category_id": c,
+                }
+            )
+        fn = f"{root}/sep_{i}.png"
+        PILImage.fromarray(img).save(fn)
+        records.append(
+            {
+                "file_name": fn,
+                "image_id": f"sep_{i}",
+                "height": 160,
+                "width": 160,
+                "annotations": annos,
+            }
+        )
+    return records
+
+
+@pytest.fixture(scope="module")
+def pcb_structured(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pcbsep")
+    records = _write_sep_images(str(tmp))
+    for name in ("pcbsep_train_voc", "pcbsep_test_voc"):
+        if name in DatasetCatalog:
+            DatasetCatalog._registry.pop(name)
+        DatasetCatalog.register(name, lambda: records)
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = ("pcbsep_train_voc",)
+    cfg.DATASETS.TEST = ("pcbsep_test_voc",)
+    cfg.TEST.PCB_MODELPATH = ""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.pcb import (
+        PrototypicalCalibrationBlock,
+    )
+
+    pcb = PrototypicalCalibrationBlock(cfg)
+
+    # Deterministic class-clustered weights: compose the random fc with the
+    # min-norm map M sending the current class-mean features to orthogonal
+    # unit directions; new features = old @ M. Within-class variation lives
+    # mostly outside span(class means) and shrinks under the min-norm
+    # solution, so per-ROI features cluster tightly around e_c.
+    F = np.stack([pcb.prototypes[c] for c in range(3)])  # (3, 1000)
+    E = np.zeros((3, 1000), np.float32)
+    E[np.arange(3), np.arange(3)] = 1.0
+    M = np.linalg.lstsq(F.astype(np.float64), E.astype(np.float64),
+                        rcond=None)[0].astype(np.float32)  # (1000, 1000)
+    params = jax.tree_util.tree_map(np.asarray, pcb.params)
+    params["fc"]["kernel"] = params["fc"]["kernel"] @ M
+    params["fc"]["bias"] = params["fc"]["bias"] @ M
+    pcb.params = params
+    pcb.prototypes = pcb.build_prototypes()
+    return pcb
+
+
+def test_pcb_structured_prototypes_are_separated(pcb_structured):
+    pcb = pcb_structured
+    P = np.stack([pcb.prototypes[c] for c in range(3)])
+    P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    cos = P @ P.T
+    off = cos[~np.eye(3, dtype=bool)]
+    assert np.all(np.abs(off) < 0.3), f"prototypes not separated: {cos}"
+
+
+def test_pcb_structured_rescoring_sign_and_window(pcb_structured):
+    """Within (PCB_LOWER, PCB_UPPER]: correct-class detections move UP
+    (cos(feat, proto[cls]) ~ 1 > score) and wrong-class detections move
+    DOWN (cos ~ 0 < score); outside the window scores are untouched —
+    the alpha-blend's sign and window semantics under class-separable
+    statistics (calibration_layer.py:106-124)."""
+    pcb = pcb_structured
+    rec = DatasetCatalog.get("pcbsep_test_voc")[0]
+    b0, b1 = [a["bbox"] for a in rec["annotations"]]
+    c0, c1 = [a["category_id"] for a in rec["annotations"]]
+    wrong0 = (c0 + 1) % 3
+    det = {
+        # rows: [correct c0, wrong class on same patch, correct c1,
+        #        correct c0 but below-window score]
+        "boxes": np.array(
+            [[b0, b0, b1, b0]], np.float32
+        ),
+        "scores": np.array([[0.5, 0.5, 0.35, 0.04]], np.float32),
+        "classes": np.array([[c0, wrong0, c1, c0]], np.int32),
+        "valid": np.ones((1, 4), bool),
+    }
+    before = det["scores"].copy()
+    got = pcb.execute_calibration(
+        [rec["image_id"]], {k: v.copy() for k, v in det.items()},
+        file_names=[rec["file_name"]],
+    )
+    s = got["scores"][0]
+    assert s[0] > before[0, 0] + 0.1, (
+        f"correct-class in-window must move UP: {before[0, 0]} -> {s[0]}"
+    )
+    assert s[1] < before[0, 1] - 0.1, (
+        f"wrong-class in-window must move DOWN: {before[0, 1]} -> {s[1]}"
+    )
+    assert s[2] > before[0, 2] + 0.1
+    # alpha-blend toward cos ~ 1: new ~ alpha*s + (1-alpha)*cos
+    assert s[0] == pytest.approx(
+        pcb.alpha * before[0, 0] + (1 - pcb.alpha) * 1.0, abs=0.1
+    )
+    # below PCB_LOWER: untouched exactly
+    np.testing.assert_array_equal(s[3], before[0, 3])
+
+    # exclude list (clsid_filter semantics): excluded class untouched
+    pcb.exclude_cls = [c0]
+    try:
+        got2 = pcb.execute_calibration(
+            [rec["image_id"]], {k: v.copy() for k, v in det.items()},
+            file_names=[rec["file_name"]],
+        )
+        np.testing.assert_array_equal(got2["scores"][0][0], before[0, 0])
+        assert got2["scores"][0][2] != before[0, 2]  # c1 still rescored
+    finally:
+        pcb.exclude_cls = []
