@@ -115,3 +115,40 @@ def reset_optimizer(state: Dict) -> Dict:
     out.pop("opt_state", None)
     out["iteration"] = 0
     return out
+
+
+def surgery_reset_student(params: Dict, seed: int = 123):
+    """Re-randomize the text-head STUDENT branch (stu_box_predictor +
+    mlp_adapter), keeping teacher/backbone/RPN — prepares the COLD student
+    of the two-stage distillation recipe (the reference re-trains a fresh
+    student against the converged teacher, run_text_train_Student.sh:26-33
+    distill combo). Returns (new_params, n_reset).
+
+    Kernels get lecun-normal-ish fresh draws; biases zero."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    key = jax.random.PRNGKey(seed)
+    new_leaves = []
+    n_reset = 0
+    for path, leaf in flat:
+        names = "/".join(getattr(p, "key", str(p)) for p in path)
+        if "stu_box_predictor" in names or "mlp_adapter" in names:
+            key, sub = jax.random.split(key)
+            if leaf.ndim >= 2:
+                fan_in = int(np.prod(leaf.shape[:-1]))
+                leaf = jax.random.normal(
+                    sub, leaf.shape, leaf.dtype
+                ) / np.sqrt(max(fan_in, 1))
+            else:
+                leaf = jnp.zeros_like(leaf)
+            n_reset += 1
+        new_leaves.append(leaf)
+    if n_reset < 6:
+        raise ValueError(
+            f"student subtree not found (reset {n_reset} leaves) — is this "
+            "a TextRes5ROIHeads checkpoint?"
+        )
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), n_reset

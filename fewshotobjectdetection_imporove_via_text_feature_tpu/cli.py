@@ -233,7 +233,8 @@ def do_test(cfg, params=None, model=None):
         )
         evaluator = build_evaluator(cfg, dataset_name, cfg.OUTPUT_DIR)
         res = inference_on_dataset(
-            model, params, loader, evaluator, pcb=pcb, mesh=mesh
+            model, params, loader, evaluator, pcb=pcb, mesh=mesh,
+            no_gt=cfg.TEST.NO_GT_EVAL,
         )
         results[dataset_name] = res
         print_csv_format(res)

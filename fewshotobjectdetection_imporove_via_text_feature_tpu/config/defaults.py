@@ -221,6 +221,13 @@ _C.TEST.AUG.ENABLED = False
 _C.TEST.PRECISE_BN = CfgNode()
 _C.TEST.PRECISE_BN.ENABLED = False
 _C.TEST.PRECISE_BN.NUM_ITER = 200
+# Evaluate WITHOUT feeding test-time GT to painting meta-archs: forces the
+# Semantic/Text families onto their all-background serving fallback
+# (PARITY #12a) instead of the reference's GT-painted protocol — the
+# NON-LEAKY evaluation of the deployable path. No reference equivalent
+# (the reference can only evaluate GT-painted, rcnn.py:64-67). Used by the
+# generalization gate's text-serving leg.
+_C.TEST.NO_GT_EVAL = False
 # PCB (ref defrcn/config/defaults.py:25-31)
 _C.TEST.PCB_ENABLE = False
 _C.TEST.PCB_MODELTYPE = "resnet"

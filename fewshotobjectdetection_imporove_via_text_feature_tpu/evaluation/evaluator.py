@@ -60,6 +60,7 @@ def inference_on_dataset(
     evaluator: Optional[DatasetEvaluator],
     pcb=None,
     mesh=None,
+    no_gt: bool = False,
 ):
     """Run inference over the loader; returns evaluator results.
 
@@ -96,7 +97,12 @@ def inference_on_dataset(
     # inference() passes gt_instances, rcnn.py:64-67, and its test mapper
     # keeps annotations, dataset_mapper.py:146-150). GT-LEAKY by design;
     # see PARITY. Plain archs keep gt out of evaluation entirely.
-    feed_gt = getattr(model, "eval_gt_role", "teacher") == "paint"
+    # no_gt=True (cfg.TEST.NO_GT_EVAL) withholds GT even from painting
+    # archs: the non-leaky serving-path evaluation (all-bg paint fallback)
+    feed_gt = (
+        not no_gt
+        and getattr(model, "eval_gt_role", "teacher") == "paint"
+    )
 
     # device-preprocess mode: fuse raw->resize into the inference program,
     # one compiled variant per target bucket

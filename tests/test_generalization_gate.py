@@ -1,35 +1,58 @@
-"""Held-out generalization gate as a CI test (VERDICT r2 task 1).
+"""Held-out generalization gate as CI tests (VERDICT r2 task 1; extended
+round 4 with VERDICT r3 tasks 2/3/7).
 
-Runs tools/check_generalization.sh (flagship path: base train on 180
-train images -> surgery -> gfsod 10-shot fine-tune -> eval on 60
-DISJOINT held-out images) with the production regularizers active and
-asserts the calibrated held-out floors through TEST.EXPECTED_RESULTS.
+Two subprocess runs of tools/check_generalization.sh on synthetic VOC with
+a DISJOINT held-out val split and the production regularizers active:
 
-This is the one test in the suite where a silently-disabled regularizer
-or a wrong gradient contract (GDL BACKWARD_SCALE / FREEZE_FEAT) FAILS —
-overfit checks can't see those. It is also the slowest (~12 min on a
-1-core host, CPU); the text-family leg and the sabotage discrimination
-proof run via the tool (see NOTES round-3 ledger), not here.
+  * flagship run — base train -> surgery -> control eval -> gfsod 10-shot
+    fine-tune -> PAIRED statistics (ft-vs-base bAP50 drop bounded, novel
+    AP gain over the un-finetuned control) -> same-seed clean-vs-sabotaged
+    contract A/B (BACKWARD_SCALE 1.0 + FREEZE_FEAT False must lose
+    >= SAB_MARGIN held-out bAP50) -> SematicRes5ROIHeads fine-tune leg.
+    A regression in GDL lambda, FREEZE_FEAT, the aug pipeline, or the
+    semantic attention fusion fails HERE, in pytest — not just in a tool.
+
+  * text run — GeneralizedTextRCNN teacher-recipe base training (held-out,
+    GT-painted per the reference's own protocol), the NON-leaky
+    serving-path eval (TEST.NO_GT_EVAL: all-bg paint fallback must still
+    detect), and the two-stage teacher -> COLD student distillation
+    (reset_student surgery + DISTILLATE+L2+KL). A regression in the
+    text fusion, the serving fallback, or the distill losses fails here.
+
+These are the slowest tests in the suite (~25 min each on a 1-core host,
+CPU); floors are wide (see the script's calibration notes) — the tight
+instruments are the paired stats and the sabotage A/B.
 """
 
 import os
 import subprocess
-import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_heldout_generalization_gate(tmp_path):
-    env = dict(
-        os.environ,
-        FSODTF_PLATFORM="cpu",
-        GEN_SKIP_TEXT="1",
-    )
+def _run_gate(tmp_path, legs):
+    env = dict(os.environ, FSODTF_PLATFORM="cpu", GEN_LEGS=legs)
     env.pop("JAX_PLATFORMS", None)
     r = subprocess.run(
         ["bash", "tools/check_generalization.sh", str(tmp_path / "gen")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=3300,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=5400,
     )
-    tail = (r.stdout + r.stderr)[-4000:]
+    tail = (r.stdout + r.stderr)[-6000:]
     assert r.returncode == 0, tail
     assert "GENERALIZATION GATE PASSED" in r.stdout, tail
+    return r.stdout
+
+
+def test_heldout_generalization_gate_flagship(tmp_path):
+    out = _run_gate(
+        tmp_path, "base,control,ft,stats,ab,semantic"
+    )
+    assert "PAIRED STATS OK" in out
+    assert "SABOTAGE DETECTED" in out
+    assert "SEMANTIC LEG PASSED" in out
+
+
+def test_heldout_generalization_gate_text_family(tmp_path):
+    out = _run_gate(tmp_path, "text,serving,distill")
+    assert "SERVING LEG PASSED" in out
+    assert "DISTILL LEG PASSED" in out

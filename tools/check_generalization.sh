@@ -1,20 +1,42 @@
 #!/usr/bin/env bash
-# Held-out generalization gate (VERDICT r2 task 1): the full few-shot
-# workflow (base train -> surgery -> create_config -> gfsod 10-shot
-# fine-tune -> eval) on a LEARNABLE synthetic dataset with a DISJOINT
-# held-out val split, with the production regularizers active (cls
-# dropout, the GDL BACKWARD_SCALE/FREEZE_FEAT contract, multi-scale
-# resize aug, weight-decay groups). Floors are calibrated (2026-08-20,
-# CPU tiny profile; see NOTES.md) and asserted with wide margin through
-# TEST.EXPECTED_RESULTS, so a silently-disabled regularizer or a wrong
-# gradient contract FAILS — unlike the overfit checks, which an
-# overfitting-friendly bug can pass.
+# Held-out generalization gate (VERDICT r2 task 1; extended r4 with the
+# VERDICT r3 tasks 2/3/7): the full few-shot workflow on a LEARNABLE
+# synthetic dataset with a DISJOINT held-out val split, with the
+# production regularizers active (cls dropout, the GDL BACKWARD_SCALE/
+# FREEZE_FEAT contract, multi-scale resize aug, weight-decay groups).
+#
+# Legs (GEN_LEGS, comma list — default all):
+#   base      15-class base training, held-out AP50 floor
+#   control   eval the surgered (un-finetuned) base model on the gfsod
+#             test set: the novel-AP control for the paired stats
+#   ft        gfsod 10-shot fine-tune, held-out bAP50/nAP50 floors
+#   stats     PAIRED invariants (floors alone only catch catastrophe):
+#             ft bAP50 >= base AP50 - DROP_MARGIN, and
+#             ft nAP50 >= control nAP50 + NOVEL_GAIN_MARGIN
+#   ab        same-seed clean-vs-sabotaged contract A/B: the sabotaged
+#             arm (BACKWARD_SCALE 1.0 + FREEZE_FEAT False) must lose
+#             >= SAB_MARGIN held-out bAP50 (the discriminating
+#             instrument for the GDL gradient contract)
+#   semantic  SematicRes5ROIHeads gfsod fine-tune from the same surgery
+#             ckpt (run_novel_pure_attention.sh:37 recipe) — held-out,
+#             NON-leaky (plain meta-arch, no painting)
+#   text      GeneralizedTextRCNN teacher recipe base training
+#             (run_text_train_teacher.sh) — held-out, GT-painted eval
+#             (the reference's own protocol; PARITY #12)
+#   serving   re-eval the text model with TEST.NO_GT_EVAL True: the
+#             NON-LEAKY serving path (all-bg paint fallback) must still
+#             detect on held-out images (a model that only detects when
+#             GT is painted fails here)
+#   distill   two-stage teacher -> COLD student distillation
+#             (run_text_train_Student.sh distill combo): reset_student
+#             surgery on the text ckpt, DISTILLATE+L2+KL training with
+#             the stage-2 contract, held-out floor
 #
 #   bash tools/check_generalization.sh [SAVE_DIR]
-#   GEN_SKIP_TEXT=1 ...     # flagship path only (what the CI test runs)
-#   GEN_SABOTAGE=1 ...      # discrimination proof: same-seed clean-vs-
-#     broken-contract A/B (BACKWARD_SCALE 1.0, FREEZE_FEAT False) must
-#     show the sabotaged arm losing >= SAB_MARGIN held-out bAP50.
+#   GEN_LEGS=base,ft,stats ...         # subset
+#   GEN_SKIP_TEXT=1 ...                # drop text,serving,distill (+ compat)
+#   GEN_SABOTAGE=1 ...                 # legacy alias: ab only, cached base
+#   GEN_CACHED_BASE=path.ckpt ...      # reuse a surgered base checkpoint
 #
 # Reference protocol: run_voc.sh:25-44;
 # defrcn/evaluation/pascal_voc_evaluation.py:131-148.
@@ -25,22 +47,42 @@ SAVE_DIR=${1:-/tmp/check_generalization}
 rm -rf ${SAVE_DIR}
 mkdir -p ${SAVE_DIR}
 
+LEGS=${GEN_LEGS:-base,control,ft,stats,ab,semantic,text,serving,distill}
+if [ "${GEN_SKIP_TEXT:-0}" = "1" ]; then
+    LEGS=$(echo "$LEGS" | sed -e 's/,text//' -e 's/,serving//' -e 's/,distill//')
+fi
+if [ "${GEN_SABOTAGE:-0}" = "1" ]; then
+    LEGS="base,control,ft,ab"
+fi
+if [ -n "${GEN_CACHED_BASE:-}" ] && [ -f "${GEN_CACHED_BASE}" ]; then
+    LEGS=$(echo "$LEGS" | sed -e 's/base,//' -e 's/^base$//')
+fi
+has() { case ",$LEGS," in *",$1,"*) return 0;; *) return 1;; esac; }
+
 DATA_ROOT=${SAVE_DIR}/datasets
 export FSODTF_DATASETS=${DATA_ROOT}
 python tools/_make_generalization_voc.py --root ${DATA_ROOT} \
     --train-2007 120 --train-2012 60 --val 60 --shots 10 --seed 0
 
 # Calibrated floors (2026-08-20, CPU tiny profile, seed 5 — NOTES
-# round-3 ledger: base held-out AP50 92.7 @1200 iters lr 0.01; after
-# gfsod fine-tune bAP50 91.7 / nAP50 76.9 @500 iters; an independent
-# dataset redraw measured 98.5/53.1). Floors leave >= 20 pts of margin
-# for seed/dataset-draw/platform noise while still failing hard on
-# regressions like a broken aug/transform or gradient contract.
+# round-3/4 ledgers). Absolute floors leave >= 20 pts of margin for
+# seed/dataset-draw/platform noise (held-out nAP50 varied 53-81 across
+# draws); the PAIRED stats + the A/B are the tight instruments.
 BASE_AP50_FLOOR=${BASE_AP50_FLOOR:-60}
 NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-30}
 BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-70}
+DROP_MARGIN=${DROP_MARGIN:-12}
+NOVEL_GAIN_MARGIN=${NOVEL_GAIN_MARGIN:-20}
+SAB_MARGIN=${SAB_MARGIN:-2}
+SEM_NOVEL_FLOOR=${SEM_NOVEL_FLOOR:-25}
+SEM_BASE_FLOOR=${SEM_BASE_FLOOR:-60}
+TEXT_AP50_FLOOR=${TEXT_AP50_FLOOR:-25}
+SERVING_AP50_FLOOR=${SERVING_AP50_FLOOR:-25}
+DISTILL_AP50_FLOOR=${DISTILL_AP50_FLOOR:-25}
 ITERS_BASE=${ITERS_BASE:-1200}
 ITERS_FT=${ITERS_FT:-500}
+ITERS_TEXT=${ITERS_TEXT:-1200}
+ITERS_DISTILL=${ITERS_DISTILL:-1200}
 
 # Tiny model profile: PRODUCTION regularizers and aug semantics at a
 # CI-able scale. No dropout/GDL/score-thresh overrides — those come
@@ -58,8 +100,19 @@ INPUT.MIN_SIZE_TEST 288 INPUT.MAX_SIZE_TEST 384
 SOLVER.IMS_PER_BATCH 8
 SOLVER.CHECKPOINT_PERIOD 0 SEED 5"
 
-if [ "${GEN_SABOTAGE:-0}" != "1" ]; then
-echo "=== 1. base training (15 base classes, held-out eval) ==="
+# copypaste CSV layout: AP,AP50,AP75[,bAP,bAP50,bAP75,nAP,nAP50,nAP75]
+metric() { # metric <log> <index>
+    python - "$1" "$2" <<'PYEOF'
+import sys
+rows = [l for l in open(sys.argv[1]) if "copypaste:" in l and "," in l]
+vals = rows[-1].split("copypaste:")[-1].strip().split(",")
+print(float(vals[int(sys.argv[2])]))
+PYEOF
+}
+
+# ---------------------------------------------------------------- base --
+if has base; then
+echo "=== base training (15 base classes, held-out eval) ==="
 # lr 0.01 + warmup 100: lr 0.02 at this scale is a convergence coin
 # flip (a dataset redraw measured AP50 94.8 vs 44.0 at the same seed);
 # 0.01 landed 92.7 on the redrawn data (NOTES round-3)
@@ -68,33 +121,22 @@ python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     SOLVER.STEPS "($((ITERS_BASE*3/4)),$((ITERS_BASE*9/10)))" \
     SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 100 \
     TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-BASE_AP50_FLOOR)))]" \
-    OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
+    OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS} 2>&1 | tee ${SAVE_DIR}/base1.log
 
-echo "=== 2. checkpoint surgery (15 -> 20 classes) ==="
+echo "=== checkpoint surgery (15 -> 20 classes) ==="
 python tools/model_surgery.py --dataset voc --method randinit \
     --src-path ${SAVE_DIR}/base1/model_final.ckpt --save-dir ${SAVE_DIR}/base1
-else
-echo "=== sabotage mode: reusing a cached base stage if present ==="
-CACHED=${GEN_CACHED_BASE:-}
-if [ -n "${CACHED}" ] && [ -f "${CACHED}" ]; then
-    mkdir -p ${SAVE_DIR}/base1
-    cp ${CACHED} ${SAVE_DIR}/base1/model_reset_surgery.ckpt
-else
-    python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
-        --opts MODEL.WEIGHTS "" SOLVER.MAX_ITER ${ITERS_BASE} \
-        SOLVER.STEPS "($((ITERS_BASE*3/4)),$((ITERS_BASE*9/10)))" \
-        SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 100 \
-        TEST.EVAL_PERIOD 0 DATASETS.TEST "()" \
-        OUTPUT_DIR ${SAVE_DIR}/base1 ${TINY_OPTS}
-    python tools/model_surgery.py --dataset voc --method randinit \
-        --src-path ${SAVE_DIR}/base1/model_final.ckpt \
-        --save-dir ${SAVE_DIR}/base1
+elif has control || has ft || has ab || has semantic; then
+echo "=== base leg skipped: using cached base checkpoint ==="
+CACHED=${GEN_CACHED_BASE:?GEN_CACHED_BASE required when base leg is off}
+mkdir -p ${SAVE_DIR}/base1
+cp ${CACHED} ${SAVE_DIR}/base1/model_reset_surgery.ckpt
 fi
-fi
+BASE_CKPT=${SAVE_DIR}/base1/model_reset_surgery.ckpt
 
-echo "=== 3. create per-seed config ==="
-# write into a throwaway config root: generating under configs/voc would
-# race tests that enumerate the shipped tree (and dirty the checkout)
+echo "=== create per-seed config ==="
+# throwaway config root: generating under configs/voc would race tests
+# that enumerate the shipped tree (and dirty the checkout)
 CFG_ROOT=${SAVE_DIR}/cfgs
 mkdir -p ${CFG_ROOT}/voc
 cp configs/Base-RCNN.yaml ${CFG_ROOT}/
@@ -105,40 +147,125 @@ CONFIG=${CFG_ROOT}/voc/defrcn_gfsod_r101_novel1_10shot_seed0.yaml
 
 FT_GATE="[('bbox','nAP50',100.0,$((100-NOVEL_AP50_FLOOR))),('bbox','bAP50',100.0,$((100-BASE_AFTER_FT_FLOOR)))]"
 
-if [ "${GEN_SABOTAGE:-0}" != "1" ]; then
-echo "=== 4. gfsod 10-shot fine-tune (production gradient contract) ==="
+# PCB off in every leg: with no ImageNet weights in this container its
+# prototypes are random-feature rescores — pure noise on the floors.
+# PCB-enabled evaluation stays covered by both workflow smokes, the
+# on-chip PCB check, and the structured-feature sign test (test_pcb.py).
+
+# ------------------------------------------------------------- control --
+if has control; then
+echo "=== control: surgered base model on the gfsod test set (no ft) ==="
+python main.py --config-file ${CONFIG} --eval-only \
+    --opts MODEL.WEIGHTS ${BASE_CKPT} TEST.PCB_ENABLE False \
+    OUTPUT_DIR ${SAVE_DIR}/control ${TINY_OPTS} \
+    2>&1 | tee ${SAVE_DIR}/control.log
+fi
+
+# ------------------------------------------------------------------ ft --
+if has ft; then
+echo "=== gfsod 10-shot fine-tune (production gradient contract) ==="
 OUT=${SAVE_DIR}/10shot_seed0
-# PCB off HERE: with no ImageNet weights in this container its prototypes
-# are random-feature rescores — pure noise on the floor being pinned.
-# PCB-enabled evaluation stays covered by both workflow smokes and the
-# on-chip PCB check (NOTES round-3 ledger).
 python main.py --config-file ${CONFIG} \
-    --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
+    --opts MODEL.WEIGHTS ${BASE_CKPT} \
     SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
     SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 50 OUTPUT_DIR ${OUT} \
     TEST.PCB_ENABLE False \
     TEST.EXPECTED_RESULTS "${FT_GATE}" ${TINY_OPTS} \
     2>&1 | tee ${OUT}.log
-
-if [ "${GEN_SKIP_TEXT:-0}" = "1" ]; then
-    echo "GENERALIZATION GATE PASSED (held-out bAP50/nAP50 over floors; text leg skipped)"
-    exit 0
 fi
 
-echo "=== 5. text-family base training (reference teacher recipe) ==="
-# The flagship text contribution on held-out images: GeneralizedTextRCNN
-# + TextRes5ROIHeads trained at the BASE stage (run_text_train_teacher.sh
-# recipe; TEACHER+STUDENT True, DISTILLATE False = the active pure-CE
-# student; glove resolves to the deterministic synthetic fallback).
-# NOTE the eval protocol is the REFERENCE'S OWN: test-time GT boxes are
-# painted into the text map (rcnn.py:64-67 + its keep-annotations test
-# mapper) — GT-LEAKY by design, see PARITY. The gate still catches
-# broken fusion/painting/attention wiring (a mis-fused eval scores ~0:
-# exactly the round-3 bug this leg caught). Calibrated: AP50 92.3 at
-# 1200 CPU iters lr 0.01 (45.9 at the unstable lr-0.02/800 recipe;
-# 100.0 at 4000 TPU iters); floor 25.
-TEXT_AP50_FLOOR=${TEXT_AP50_FLOOR:-25}
-ITERS_TEXT=${ITERS_TEXT:-1200}
+# --------------------------------------------------------------- stats --
+if has stats; then
+echo "=== paired statistics (VERDICT r3 task 7) ==="
+if [ -f ${SAVE_DIR}/base1.log ]; then
+    BASE_AP50=$(metric ${SAVE_DIR}/base1.log 1)
+else
+    BASE_AP50="None"  # cached-base mode: no base eval to pair against
+fi
+FT_BAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 4)
+FT_NAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 7)
+CTRL_NAP50=$(metric ${SAVE_DIR}/control.log 7)
+python - <<PYEOF
+base, ft_b, ft_n, ctrl_n = ${BASE_AP50}, ${FT_BAP50}, ${FT_NAP50}, ${CTRL_NAP50}
+gain = ft_n - ctrl_n
+if base is not None:
+    drop = base - ft_b
+    print(f"paired stats: base AP50 {base:.2f} -> ft bAP50 {ft_b:.2f} "
+          f"(drop {drop:.2f}, margin ${DROP_MARGIN})")
+    assert drop <= ${DROP_MARGIN}, (
+        f"fine-tune lost {drop:.2f} held-out base AP50 vs the base model "
+        f"(> ${DROP_MARGIN}): base-class knowledge silently regressed")
+print(f"paired stats: control nAP50 {ctrl_n:.2f} -> ft nAP50 {ft_n:.2f} "
+      f"(gain {gain:.2f}, margin ${NOVEL_GAIN_MARGIN})")
+assert gain >= ${NOVEL_GAIN_MARGIN}, (
+    f"fine-tune gained only {gain:.2f} held-out novel AP50 over the "
+    f"un-finetuned control (< ${NOVEL_GAIN_MARGIN}): few-shot learning "
+    f"silently broken")
+print("PAIRED STATS OK")
+PYEOF
+fi
+
+# ------------------------------------------------------------------ ab --
+if has ab; then
+echo "=== contract A/B: sabotaged fine-tune (same seed) ==="
+# Discrimination proof for the GDL gradient contract. On this easy
+# synthetic task a broken contract degrades held-out base AP by single
+# digits (calibrated 2026-08-20: clean/sab bAP50 91.7/88.3 and 98.5/91.8
+# on an independent draw; deltas 3.5 / 6.7 vs margin 2) — so the proof
+# is a SAME-SEED A/B against the clean ft leg, not an absolute floor.
+OUT=${SAVE_DIR}/ab_sab
+python main.py --config-file ${CONFIG} \
+    --opts MODEL.WEIGHTS ${BASE_CKPT} \
+    SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
+    SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 50 OUTPUT_DIR ${OUT} \
+    TEST.PCB_ENABLE False \
+    MODEL.RPN.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.BACKWARD_SCALE 1.0 \
+    MODEL.ROI_HEADS.FREEZE_FEAT False ${TINY_OPTS} \
+    2>&1 | tee ${OUT}.log
+CLEAN_BAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 4)
+SAB_BAP50=$(metric ${OUT}.log 4)
+python - <<PYEOF
+clean, sab = ${CLEAN_BAP50}, ${SAB_BAP50}
+print(f"held-out bAP50: clean={clean:.2f} sabotaged={sab:.2f} "
+      f"delta={clean-sab:.2f} (margin ${SAB_MARGIN})")
+assert clean - sab >= ${SAB_MARGIN}, "contract sabotage NOT detected"
+print("SABOTAGE DETECTED: the gradient contract measurably protects "
+      "held-out base AP")
+PYEOF
+fi
+
+# ------------------------------------------------------------ semantic --
+if has semantic; then
+echo "=== semantic-head gfsod fine-tune (run_novel_pure_attention.sh) ==="
+# SematicRes5ROIHeads under the plain meta-arch: attention over pooled
+# ROI features vs the class-embedding bank + CE attention loss. Held-out
+# and NON-leaky (no painting); broken attention fusion / loss_attentive
+# wiring scores ~0 here.
+OUT=${SAVE_DIR}/semantic_ft
+python main.py --config-file ${CONFIG} \
+    --opts MODEL.WEIGHTS ${BASE_CKPT} \
+    MODEL.ROI_HEADS.NAME SematicRes5ROIHeads \
+    MODEL.ROI_HEADS.TEACHER_TRAINING True \
+    MODEL.ROI_HEADS.STUDENT_TRAINING False \
+    MODEL.ROI_HEADS.DISTILLATE False \
+    MODEL.ADDITION.NAME glove \
+    SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
+    SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 50 OUTPUT_DIR ${OUT} \
+    TEST.PCB_ENABLE False \
+    TEST.EXPECTED_RESULTS "[('bbox','nAP50',100.0,$((100-SEM_NOVEL_FLOOR))),('bbox','bAP50',100.0,$((100-SEM_BASE_FLOOR)))]" \
+    ${TINY_OPTS} 2>&1 | tee ${OUT}.log
+echo "SEMANTIC LEG PASSED"
+fi
+
+# ---------------------------------------------------------------- text --
+if has text; then
+echo "=== text-family base training (reference teacher recipe) ==="
+# GeneralizedTextRCNN + TextRes5ROIHeads at the BASE stage
+# (run_text_train_teacher.sh; TEACHER+STUDENT True, DISTILLATE False =
+# the active pure-CE student; glove resolves to the deterministic
+# synthetic fallback). Eval protocol is the REFERENCE'S OWN: test-time
+# GT painted into the text map (GT-LEAKY by design, PARITY #12).
+# Calibrated: AP50 92.3 at 1200 CPU iters lr 0.01; floor 25.
 OUTT=${SAVE_DIR}/text_base
 python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     --opts MODEL.WEIGHTS "" \
@@ -154,43 +281,63 @@ python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
     TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-TEXT_AP50_FLOOR)))]" \
     ${TINY_OPTS} \
     2>&1 | tee ${OUTT}.log
-echo "GENERALIZATION GATE PASSED (held-out floors: flagship base/ft + text)"
-else
-echo "=== 4S. contract A/B: clean vs sabotaged fine-tune (same seed) ==="
-# Discrimination proof for the GDL gradient contract. On this easy
-# synthetic task a broken contract degrades held-out base AP by single
-# digits (calibrated 2026-08-20: 10-shot clean/sab bAP50 91.7/88.3 and
-# 98.5/91.8 on an independent dataset draw; the sabotaged arm's NOVEL
-# AP can move either way), not below any noise-safe absolute floor — so
-# the proof is a SAME-SEED A/B: the sabotaged run (BACKWARD_SCALE 1.0,
-# FREEZE_FEAT False, everything else identical) must lose >= SAB_MARGIN
-# held-out bAP50 vs the clean contract (measured deltas 3.5 and 6.7).
-SAB_MARGIN=${SAB_MARGIN:-2}
-for arm in clean sab; do
-    OUT=${SAVE_DIR}/ab_${arm}
-    EXTRA=""
-    if [ "$arm" = "sab" ]; then
-        EXTRA="MODEL.RPN.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.BACKWARD_SCALE 1.0 MODEL.ROI_HEADS.FREEZE_FEAT False"
-    fi
-    python main.py --config-file ${CONFIG} \
-        --opts MODEL.WEIGHTS ${SAVE_DIR}/base1/model_reset_surgery.ckpt \
-        SOLVER.MAX_ITER ${ITERS_FT} SOLVER.STEPS "($((ITERS_FT*4/5)),)" \
-        SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 50 OUTPUT_DIR ${OUT} \
-        TEST.PCB_ENABLE False ${EXTRA} ${TINY_OPTS} \
-        2>&1 | tee ${OUT}.log
-done
-python - <<EOF
-import re
-def bap50(path):
-    rows = [l for l in open(path) if "copypaste:" in l and "," in l]
-    vals = rows[-1].split("copypaste:")[-1].strip().split(",")
-    return float(vals[4])  # AP,AP50,AP75,bAP,bAP50,...
-clean = bap50("${SAVE_DIR}/ab_clean.log")
-sab = bap50("${SAVE_DIR}/ab_sab.log")
-print(f"held-out bAP50: clean={clean:.2f} sabotaged={sab:.2f} "
-      f"delta={clean-sab:.2f} (margin ${SAB_MARGIN})")
-assert clean - sab >= ${SAB_MARGIN}, "contract sabotage NOT detected"
-print("SABOTAGE DETECTED: the gradient contract measurably protects "
-      "held-out base AP")
-EOF
 fi
+
+# ------------------------------------------------------------- serving --
+if has serving; then
+echo "=== text serving-path eval (NON-leaky: TEST.NO_GT_EVAL) ==="
+# VERDICT r3 task 3: the deployable path — no GT painted, the text map
+# falls back to all-background through the same fuse projection. A model
+# that only detects when GT is painted fails THIS leg while passing the
+# painted one.
+python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
+    --eval-only \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/text_base/model_final.ckpt \
+    MODEL.META_ARCHITECTURE GeneralizedTextRCNN \
+    MODEL.ROI_HEADS.NAME TextRes5ROIHeads \
+    MODEL.ADDITION.NAME glove \
+    MODEL.ROI_HEADS.TEACHER_TRAINING True \
+    MODEL.ROI_HEADS.STUDENT_TRAINING True \
+    MODEL.ROI_HEADS.DISTILLATE False \
+    TEST.NO_GT_EVAL True \
+    OUTPUT_DIR ${SAVE_DIR}/text_serving \
+    TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-SERVING_AP50_FLOOR)))]" \
+    ${TINY_OPTS} 2>&1 | tee ${SAVE_DIR}/text_serving.log
+echo "SERVING LEG PASSED"
+fi
+
+# ------------------------------------------------------------- distill --
+if has distill; then
+echo "=== two-stage teacher -> COLD student distillation ==="
+# run_text_train_Student.sh:26-33 distill combo: re-randomize the
+# student branch of the converged text teacher (reset_student surgery),
+# then train with DISTILLATE+L2+KL. Stage-2 stability constants mirror
+# tools/overfit_distill_check.py (NOTES round-2 session-5): the
+# novel-fine-tune gradient contract (RPN lambda 0 is the base-config
+# default; RCNN lambda 0.001 + FREEZE_FEAT) and KL_TEMP 2 — the
+# production KL_TEMP=5 step stays covered by bench + dryrun.
+python tools/model_surgery.py --dataset voc --method reset_student \
+    --src-path ${SAVE_DIR}/text_base/model_final.ckpt \
+    --save-dir ${SAVE_DIR}/text_base
+OUTD=${SAVE_DIR}/distill_student
+python main.py --config-file configs/voc/defrcn_det_r101_base1.yaml \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/text_base/model_reset_student.ckpt \
+    MODEL.META_ARCHITECTURE GeneralizedTextRCNN \
+    MODEL.ROI_HEADS.NAME TextRes5ROIHeads \
+    MODEL.ADDITION.NAME glove \
+    MODEL.ROI_HEADS.TEACHER_TRAINING True \
+    MODEL.ROI_HEADS.STUDENT_TRAINING True \
+    MODEL.ROI_HEADS.DISTILLATE True \
+    MODEL.ROI_HEADS.L2 True \
+    MODEL.ROI_HEADS.KL_TEMP 2 \
+    MODEL.ROI_HEADS.BACKWARD_SCALE 0.001 \
+    MODEL.ROI_HEADS.FREEZE_FEAT True \
+    SOLVER.MAX_ITER ${ITERS_DISTILL} \
+    SOLVER.STEPS "($((ITERS_DISTILL*4/5)),)" \
+    SOLVER.BASE_LR 0.01 SOLVER.WARMUP_ITERS 100 OUTPUT_DIR ${OUTD} \
+    TEST.EXPECTED_RESULTS "[('bbox','AP50',100.0,$((100-DISTILL_AP50_FLOOR)))]" \
+    ${TINY_OPTS} 2>&1 | tee ${OUTD}.log
+echo "DISTILL LEG PASSED"
+fi
+
+echo "GENERALIZATION GATE PASSED (legs: ${LEGS})"

@@ -20,6 +20,7 @@ from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery imp
     reset_optimizer,
     surgery_randinit,
     surgery_remove,
+    surgery_reset_student,
 )
 
 
@@ -50,7 +51,9 @@ def main():
     p.add_argument("--src-path", default="", help="Path to the main checkpoint")
     p.add_argument("--save-dir", required=True)
     p.add_argument(
-        "--method", choices=["remove", "randinit", "reset"], required=True
+        "--method",
+        choices=["remove", "randinit", "reset", "reset_student"],
+        required=True,
     )
     p.add_argument("--tar-name", default="model_reset")
     p.add_argument("--seed", type=int, default=0)
@@ -69,7 +72,13 @@ def main():
 
     state = reset_optimizer(state)
     params = state["params"] if "params" in state else state
-    if args.method == "remove":
+    if args.method == "reset_student":
+        # cold-student prep for stage-2 distillation (beyond the
+        # reference's surgery surface; see surgery_reset_student)
+        new_params, n = surgery_reset_student(params, seed=args.seed)
+        print(f"re-randomized {n} student-branch tensors")
+        suffix = "_student"
+    elif args.method == "remove":
         new_params = surgery_remove(params)
         suffix = "_remove"
     else:

@@ -110,32 +110,13 @@ def _base_cfg(get_cfg, production):
 
 
 def _rerandomize_student(params, rng_seed=123):
-    """Replace the student branch (stu_box_predictor + mlp_adapter) with
-    fresh random values, keeping every other tensor (teacher, backbone, RPN)
-    from the loaded checkpoint."""
-    import jax
-    import jax.numpy as jnp
+    """Cold-student prep — shared with tools/model_surgery.py
+    --method reset_student (checkpoint.surgery.surgery_reset_student)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.checkpoint.surgery import (
+        surgery_reset_student,
+    )
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    treedef = jax.tree_util.tree_structure(params)
-    key = jax.random.PRNGKey(rng_seed)
-    new_leaves = []
-    n_reset = 0
-    for path, leaf in flat:
-        names = "/".join(getattr(p, "key", str(p)) for p in path)
-        if "stu_box_predictor" in names or "mlp_adapter" in names:
-            key, sub = jax.random.split(key)
-            if leaf.ndim >= 2:  # kernels: lecun-normal-ish
-                fan_in = int(np.prod(leaf.shape[:-1]))
-                leaf = jax.random.normal(sub, leaf.shape, leaf.dtype) / np.sqrt(
-                    max(fan_in, 1)
-                )
-            else:  # biases
-                leaf = jnp.zeros_like(leaf)
-            n_reset += 1
-        new_leaves.append(leaf)
-    assert n_reset >= 6, f"student subtree not found (reset {n_reset} leaves)"
-    return jax.tree_util.tree_unflatten(treedef, new_leaves), n_reset
+    return surgery_reset_student(params, seed=rng_seed)
 
 
 def main(production=False):
