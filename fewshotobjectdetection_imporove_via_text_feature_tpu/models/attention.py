@@ -35,11 +35,19 @@ import numpy as np
 from flax import linen as nn
 
 
-def scaled_dot_product_attention(q, k, v, temperature):
-    """q (B, Lq, D), k (B, Lk, D), v (B, Lk, D)."""
+def scaled_dot_product_attention(q, k, v, temperature, key_mask=None):
+    """q (B, Lq, D), k (B, Lk, D), v (B, Lk, D).
+
+    key_mask (B, Lk) bool, optional: False keys get -inf logits (zero
+    attention weight). None = unmasked, bit-identical to the original
+    path. Used to keep PAD ROI slots out of the cross-ROI teacher
+    attention (fixed-shape validity contract); the reference has no
+    equivalent because its row count is dynamic."""
     attn = jnp.einsum(
         "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
     ) / temperature
+    if key_mask is not None:
+        attn = jnp.where(key_mask[:, None, :], attn, -jnp.inf)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bqk,bkd->bqd", attn, v)
     return out, attn
@@ -65,7 +73,13 @@ class FFN(nn.Module):
         h = nn.Dense(self.d_ffn, kernel_init=init, name="linear1")(x)
         h = nn.relu(h)
         h = nn.Dense(self.d_model, kernel_init=init, name="linear2")(h)
-        return nn.LayerNorm(name="norm3")(x + h)
+        # epsilon=1e-5: torch nn.LayerNorm's default (the reference's FFN
+        # norm3, attentive_modules.py:69). flax defaults to 1e-6 — the
+        # mismatch showed up as a systematic ~4e-3 drift in the teacher
+        # path that the piecewise oracle had misattributed to
+        # reduction-order noise (found by the round-4 full-network text
+        # oracle, tests/test_full_network_text_oracle.py).
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + h)
 
 
 class SingleHeadSiameseAttention(nn.Module):
@@ -84,7 +98,7 @@ class SingleHeadSiameseAttention(nn.Module):
     reinit_scale: Any = 0.02
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, key_mask=None):
         d = self.d_model
         if self.reinit_scale is not None:
             qkv_init = lin_init = nn.initializers.normal(self.reinit_scale)
@@ -108,8 +122,12 @@ class SingleHeadSiameseAttention(nn.Module):
         kp = jnp.concatenate([kp, dummy_k], axis=1)
         vp = jnp.concatenate([vp, dummy_v], axis=1)
 
+        if key_mask is not None:  # the dummy bg token is always attendable
+            key_mask = jnp.concatenate(
+                [key_mask, jnp.ones((b, 1), bool)], axis=1
+            )
         out, attn = scaled_dot_product_attention(
-            qp, kp, vp, temperature=float(np.sqrt(d))
+            qp, kp, vp, temperature=float(np.sqrt(d)), key_mask=key_mask
         )
 
         o1 = nn.relu(
@@ -183,7 +201,7 @@ class LVAttention(nn.Module):
     vkv: bool = False  # q = v variant (ref :440-487)
 
     @nn.compact
-    def __call__(self, visual_feat, gt_classes):
+    def __call__(self, visual_feat, gt_classes, valid=None):
         c, text_dim = self.class_embed.shape
         w_bg = self.param(
             "w_bg", nn.initializers.normal(1.0), (1, text_dim)
@@ -211,9 +229,15 @@ class LVAttention(nn.Module):
         value = nn.relu(value)
 
         q = value[None] if self.vkv else visual_feat[None]
+        # This attention is CROSS-ROI (each query attends over every row's
+        # text feature, ref attentive_modules.py:414-427) — PAD rows must
+        # not contribute keys/values (found by the full-network text
+        # oracle; production slots are always filled, so this only fires
+        # when candidates < BATCH_SIZE_PER_IMAGE)
         sim2stext, _ = SingleHeadSiameseAttention(
             self.input_size, name="attention"
-        )(q, text_feat[None], value[None])
+        )(q, text_feat[None], value[None],
+          key_mask=None if valid is None else valid[None])
         sim2stext = nn.relu(sim2stext[0])
         return {}, {"sim2stext": sim2stext, "text_feat": text_feat_out}
 
@@ -228,7 +252,7 @@ class LVAttentionTextDomination(nn.Module):
     vkv: bool = False
 
     @nn.compact
-    def __call__(self, visual_feat, gt_classes):
+    def __call__(self, visual_feat, gt_classes, valid=None):
         c, text_dim = self.class_embed.shape
         vis_t = nn.Dense(
             text_dim, kernel_init=torch_linear_init, name="proj_visual"
@@ -253,9 +277,11 @@ class LVAttentionTextDomination(nn.Module):
         value = nn.relu(value)
 
         q = value[None] if self.vkv else vis_t[None]
+        # cross-ROI attention: mask PAD rows out of K/V (see LVAttention)
         sim2stext, _ = SingleHeadSiameseAttention(
             text_dim, name="attention"
-        )(q, text_feat[None], value[None])
+        )(q, text_feat[None], value[None],
+          key_mask=None if valid is None else valid[None])
         sim2stext = nn.relu(sim2stext[0])
         sim2stext = nn.Dense(
             self.input_size, kernel_init=torch_linear_init, name="proj2"

@@ -225,8 +225,13 @@ class TextRes5ROIHeads(Res5ROIHeads):
             ]
         )
 
-    def forward_teacher(self, feature_pooled, gt_classes, *, train: bool):
-        loss_att, out = self.attention(feature_pooled, gt_classes)
+    def forward_teacher(
+        self, feature_pooled, gt_classes, valid=None, *, train: bool
+    ):
+        # valid masks PAD slots out of the cross-ROI attention's keys
+        # (fixed-shape contract; no-op when every slot is filled — the
+        # production sampler always fills all BATCH_SIZE_PER_IMAGE slots)
+        loss_att, out = self.attention(feature_pooled, gt_classes, valid)
         scores, deltas = self.box_predictor(
             feature_pooled, out["sim2stext"], train=train
         )
@@ -269,7 +274,7 @@ class TextRes5ROIHeads(Res5ROIHeads):
                 # teacher evaluation with GT-labeled proposals
                 # (ref forward path via label_proposals, roi_heads.py:780-782)
                 t_scores, t_deltas, _, _ = self.forward_teacher(
-                    feat, gt_classes, train=False
+                    feat, gt_classes, valid, train=False
                 )
                 return t_scores, t_deltas, {}
             s_scores, s_deltas, _ = self.forward_student(
@@ -277,7 +282,7 @@ class TextRes5ROIHeads(Res5ROIHeads):
             )
             return s_scores, s_deltas, {}
         t_scores, t_deltas, t_out, _ = self.forward_teacher(
-            feat, gt_classes, train=True
+            feat, gt_classes, valid, train=True
         )
         s_scores, s_deltas, s_losses = self.forward_student(
             feat, t_out, gt_classes, valid, train=True

@@ -688,3 +688,229 @@ class TorchGeneralizedRCNN(nn.Module):
             keep = keep[: self.test_topk]
             results.append((fboxes[keep], fscores[keep], fclasses[keep]))
         return results
+
+
+# ---------------------------------------------------------------------------
+# Text-family full network: GeneralizedTextRCNN + TextRes5ROIHeads
+# ---------------------------------------------------------------------------
+class TorchGeneralizedTextRCNN(TorchGeneralizedRCNN):
+    """The fork's flagship text pipeline in plain torch:
+
+      * per-pixel class-embedding map painted inside GT boxes, bg = learned
+        vector (rcnn.py:399-433: _expand_bbox floor/(floor+1) bounds at
+        rate 1.0, sequential overwrite), concat with res4 and projected by
+        to_rpn_input_proj — at TRAIN and (GT-painted) EVAL alike
+        (rcnn.py:64-67; PARITY #12);
+      * TextRes5ROIHeads (roi_heads.py:529-836): teacher =
+        attention(feature_pooled, gt_classes) -> box_predictor(feat,
+        sim2stext); student = stu_box_predictor(feat, mlp_adapter(feat))
+        + MSE feature distill vs the teacher's sim2stext
+        (forward_adapter, :595-627) + loss_fn_kd_only KL (:746-765);
+        teacher detection losses carry the _t suffix (:818-826).
+
+    ``attention`` is injected by the caller — the reference's OWN exec'd
+    LV_attention module, so the attention core runs the reference's torch
+    code verbatim. Deviations mirrored from our build (documented):
+    distill targets are DETACHED (one-directional KD, PARITY #8; the
+    reference backpropagates into the teacher), and inference runs the
+    student path (the reference's inference branch references an
+    undefined variable and crashes, PARITY #3)."""
+
+    def __init__(self, *args, class_embed=None, attention=None,
+                 kl_temp=5.0, **kw):
+        super().__init__(*args, **kw)
+        c4 = self.roi_heads.res5[0].conv1.weight.shape[1] // 2
+        c5 = self.roi_heads.res5[-1].conv3.weight.shape[0]
+        sem = class_embed.shape[1]
+        self.register_buffer("class_embed", torch.as_tensor(class_embed))
+        self.bg_feature = nn.Parameter(torch.randn(1, sem))
+        self.to_rpn_input_proj = nn.Linear(2 * c4 + sem, 2 * c4)
+        self.attention = attention
+        self.kl_temp = kl_temp
+        self.roi_heads.stu_box_predictor = nn.Module()
+        self.roi_heads.stu_box_predictor.cls_score = nn.Linear(
+            c5, self.num_classes + 1
+        )
+        self.roi_heads.stu_box_predictor.bbox_pred = nn.Linear(
+            c5, self.num_classes * 4
+        )
+        self.roi_heads.mlp_adapter = nn.Sequential(
+            nn.Linear(c5, c5 // 2), nn.ReLU(),
+            nn.Linear(c5 // 2, c5), nn.ReLU(),
+        )
+
+    def _expand_bbox(self, gt_box, max_size, stride):
+        # rcnn.py:399-407 at expand_rate 1.0
+        x1, y1, x2, y2 = (gt_box / stride).tolist()
+        w, h = x2 - x1, y2 - y1
+        xc, yc = (x1 + x2) / 2, (y1 + y2) / 2
+        x1 = int(max(0, math.floor(xc - w / 2)))
+        y1 = int(max(0, math.floor(yc - h / 2)))
+        x2 = int(min(max_size[1], math.floor(xc + w / 2) + 1))
+        y2 = int(min(max_size[0], math.floor(yc + h / 2) + 1))
+        return x1, y1, x2, y2
+
+    def _add_semantic_features(self, feat, gt_boxes, gt_classes):
+        """rcnn.py:409-433: paint -> concat -> linear proj (NHWC inside)."""
+        vis = feat.permute(0, 2, 3, 1)  # (B, H, W, C)
+        b, h, w, _ = vis.shape
+        sem = self.bg_feature.expand(b, h, w, -1).clone()
+        for i in range(b):
+            for box, cls in zip(gt_boxes[i], gt_classes[i]):
+                x1, y1, x2, y2 = self._expand_bbox(box, (h, w), self.stride)
+                sem[i, y1:y2, x1:x2] = self.class_embed[cls]
+        fused = self.to_rpn_input_proj(torch.cat([vis, sem], dim=-1))
+        return fused.permute(0, 3, 1, 2)
+
+    def _features(self, images, gt_boxes=None, gt_classes=None):
+        x = (images - self.pixel_mean) / self.pixel_std
+        feat = self.backbone(x)
+        feat = self._add_semantic_features(feat, gt_boxes, gt_classes)
+        feat_rpn = self.affine_rpn(decouple_layer(feat, self.lambda_rpn))
+        feat_rcnn = self.affine_rcnn(decouple_layer(feat, self.lambda_rcnn))
+        return feat, feat_rpn, feat_rcnn
+
+    def losses(self, images, image_hw, gt_boxes, gt_classes):
+        feat, feat_rpn, feat_rcnn = self._features(images, gt_boxes, gt_classes)
+        logits, deltas, anchors = self._rpn_out(feat_rpn)
+        b = images.shape[0]
+
+        gt_labels_all, matched_boxes_all = [], []
+        for i in range(b):
+            iou = pairwise_iou(gt_boxes[i], anchors)
+            midx, labels = match(
+                iou, list(self.rpn_iou_thresholds), [0, -1, 1], True
+            )
+            gt_labels_all.append(labels)
+            matched_boxes_all.append(gt_boxes[i][midx])
+        gt_labels = torch.stack(gt_labels_all)
+        pos_mask = gt_labels == 1
+        valid_mask = gt_labels >= 0
+        gt_anchor_deltas = torch.stack(
+            [get_deltas(anchors, mb, (1.0,) * 4) for mb in matched_boxes_all]
+        )
+        loss_rpn_loc = (
+            F.l1_loss(
+                deltas[pos_mask], gt_anchor_deltas[pos_mask], reduction="sum"
+            ) / (self.rpn_batch * b)
+        )
+        loss_rpn_cls = (
+            F.binary_cross_entropy_with_logits(
+                logits[valid_mask], gt_labels[valid_mask].float(),
+                reduction="sum",
+            ) / (self.rpn_batch * b)
+        )
+
+        proposals = self._select_proposals(
+            logits.detach(), deltas.detach(), anchors, image_hw
+        )
+        all_boxes, all_gt_cls, all_gt_boxes = [], [], []
+        for i in range(b):
+            pboxes = torch.cat([proposals[i][0], gt_boxes[i]])
+            iou = pairwise_iou(gt_boxes[i], pboxes)
+            midx, mlab = match(iou, [self.roi_iou_threshold], [0, 1], False)
+            cls = gt_classes[i][midx].clone()
+            cls[mlab == 0] = self.num_classes
+            fg = (cls >= 0) & (cls != self.num_classes)
+            order = torch.cat([torch.nonzero(fg)[:, 0],
+                               torch.nonzero(~fg)[:, 0]])
+            all_boxes.append(pboxes[order])
+            all_gt_cls.append(cls[order])
+            all_gt_boxes.append(gt_boxes[i][midx[order]])
+
+        pooled = torch.cat(
+            [
+                roi_align(feat_rcnn[i], all_boxes[i], 7, 1.0 / self.stride)
+                for i in range(b)
+            ]
+        )
+        feature_pooled = self.roi_heads.res5(pooled).mean(dim=[2, 3])
+        gt_cls = torch.cat(all_gt_cls)
+        gt_bx = torch.cat(all_gt_boxes)
+        prop_bx = torch.cat(all_boxes)
+
+        # --- teacher (roi_heads.py:715-732) ---
+        _, t_out = self.attention(feature_pooled, gt_cls)
+        t_sim = t_out["sim2stext"]
+        if t_sim.dim() == 3:  # the exec'd LV_attention keeps the (1, N, d)
+            t_sim = t_sim[0]  # attention batch axis
+        t_scores = self.roi_heads.box_predictor.cls_score(t_sim)
+        t_deltas = self.roi_heads.box_predictor.bbox_pred(feature_pooled)
+
+        # --- student (roi_heads.py:734-771; targets DETACHED, PARITY #8) ---
+        adapter_feat = self.roi_heads.mlp_adapter(feature_pooled)
+        loss_student_feat = F.mse_loss(adapter_feat, t_sim.detach())
+        s_scores = self.roi_heads.stu_box_predictor.cls_score(adapter_feat)
+        s_deltas = self.roi_heads.stu_box_predictor.bbox_pred(feature_pooled)
+
+        # loss_fn_kd_only (my_module.py:408-437): KL at T^2 with bg rows
+        # weighted 1.5x, vs the DETACHED teacher logits
+        T = self.kl_temp
+        logp_s = F.log_softmax(s_scores / T, dim=1)
+        p_t = F.softmax(t_scores.detach() / T, dim=1)
+        per_row = F.kl_div(logp_s, p_t, reduction="none").sum(dim=1)
+        weights = torch.where(
+            gt_cls == self.num_classes,
+            torch.tensor(1.5), torch.tensor(1.0),
+        )
+        loss_kl = (per_row * weights).mean() * T * T
+
+        def det_losses(scores, pdeltas):
+            loss_cls = F.cross_entropy(scores, gt_cls, reduction="mean")
+            fg_inds = torch.nonzero(
+                (gt_cls >= 0) & (gt_cls < self.num_classes)
+            )[:, 0]
+            gt_prop_deltas = get_deltas(prop_bx, gt_bx, self.box_reg_weights)
+            cols = 4 * gt_cls[fg_inds][:, None] + torch.arange(4)
+            loss_box = (
+                F.l1_loss(
+                    pdeltas[fg_inds[:, None], cols],
+                    gt_prop_deltas[fg_inds], reduction="sum",
+                ) / gt_cls.numel()
+            )
+            return loss_cls, loss_box
+
+        loss_cls, loss_box_reg = det_losses(s_scores, s_deltas)
+        loss_cls_t, loss_box_reg_t = det_losses(t_scores, t_deltas)
+        return {
+            "loss_rpn_cls": loss_rpn_cls,
+            "loss_rpn_loc": loss_rpn_loc,
+            "loss_cls": loss_cls,
+            "loss_box_reg": loss_box_reg,
+            "loss_cls_t": loss_cls_t,
+            "loss_box_reg_t": loss_box_reg_t,
+            "loss_kl": loss_kl,
+            "loss_student_feat": loss_student_feat,
+        }
+
+    @torch.no_grad()
+    def inference(self, images, image_hw, gt_boxes=None, gt_classes=None):
+        """GT-painted eval (the reference's own protocol), student path."""
+        feat, feat_rpn, feat_rcnn = self._features(images, gt_boxes, gt_classes)
+        logits, deltas, anchors = self._rpn_out(feat_rpn)
+        proposals = self._select_proposals(logits, deltas, anchors, image_hw)
+        results = []
+        for i in range(images.shape[0]):
+            pboxes = proposals[i][0]
+            pooled = roi_align(feat_rcnn[i], pboxes, 7, 1.0 / self.stride)
+            x = self.roi_heads.res5(pooled).mean(dim=[2, 3])
+            adapter_feat = self.roi_heads.mlp_adapter(x)
+            scores = F.softmax(
+                self.roi_heads.stu_box_predictor.cls_score(adapter_feat),
+                dim=-1,
+            )[:, :-1]
+            pdeltas = self.roi_heads.stu_box_predictor.bbox_pred(x)
+            boxes = apply_deltas(pdeltas, pboxes, self.box_reg_weights)
+            boxes = clip_boxes(boxes.reshape(-1, 4), image_hw[i]).reshape(
+                -1, self.num_classes, 4
+            )
+            mask = scores > self.test_score_thresh
+            inds = torch.nonzero(mask)
+            keep = batched_nms(
+                boxes[mask], scores[mask], inds[:, 1], self.test_nms_thresh
+            )
+            keep = keep[: self.test_topk]
+            results.append(
+                (boxes[mask][keep], scores[mask][keep], inds[:, 1][keep])
+            )
+        return results
