@@ -629,11 +629,10 @@ class TorchGeneralizedRCNN(nn.Module):
         )
         box_features = self.roi_heads.res5(pooled)
         feature_pooled = box_features.mean(dim=[2, 3])
-        scores = self.roi_heads.box_predictor.cls_score(feature_pooled)
-        pdeltas = self.roi_heads.box_predictor.bbox_pred(feature_pooled)
+        gt_cls = torch.cat(all_gt_cls)
+        scores, pdeltas, extra_losses = self._predict(feature_pooled, gt_cls)
 
         # --- FastRCNNOutputs.losses (fast_rcnn.py:222-304) ---
-        gt_cls = torch.cat(all_gt_cls)
         gt_bx = torch.cat(all_gt_boxes)
         prop_bx = torch.cat(all_boxes)
         loss_cls = F.cross_entropy(scores, gt_cls, reduction="mean")
@@ -655,7 +654,18 @@ class TorchGeneralizedRCNN(nn.Module):
             "loss_rpn_loc": loss_rpn_loc,
             "loss_cls": loss_cls,
             "loss_box_reg": loss_box_reg,
+            **extra_losses,
         }
+
+    def _predict(self, feature_pooled, gt_cls):
+        """Head hook: (scores, deltas, extra_losses). The plain Res5 head;
+        overridden by the semantic-head oracle (train-time gt_cls for its
+        attention CE; None at inference)."""
+        return (
+            self.roi_heads.box_predictor.cls_score(feature_pooled),
+            self.roi_heads.box_predictor.bbox_pred(feature_pooled),
+            {},
+        )
 
     # -- inference ---------------------------------------------------------
     @torch.no_grad()
@@ -671,10 +681,8 @@ class TorchGeneralizedRCNN(nn.Module):
             pboxes = proposals[i][0]
             pooled = roi_align(feat_rcnn[i], pboxes, 7, 1.0 / self.stride)
             x = self.roi_heads.res5(pooled).mean(dim=[2, 3])
-            scores = F.softmax(
-                self.roi_heads.box_predictor.cls_score(x), dim=-1
-            )[:, :-1]
-            pdeltas = self.roi_heads.box_predictor.bbox_pred(x)
+            raw_scores, pdeltas, _ = self._predict(x, None)
+            scores = F.softmax(raw_scores, dim=-1)[:, :-1]
             boxes = apply_deltas(pdeltas, pboxes, self.box_reg_weights)
             boxes = clip_boxes(boxes.reshape(-1, 4), image_hw[i]).reshape(
                 -1, self.num_classes, 4
@@ -914,3 +922,119 @@ class TorchGeneralizedTextRCNN(TorchGeneralizedRCNN):
                 (boxes[mask][keep], scores[mask][keep], inds[:, 1][keep])
             )
         return results
+
+
+# ---------------------------------------------------------------------------
+# Semantic family: SematicRes5ROIHeads(+CrossOutput) and the Distillated
+# meta-arch's multi-scale KD losses
+# ---------------------------------------------------------------------------
+class TorchSemanticHeadRCNN(TorchGeneralizedRCNN):
+    """Plain meta-arch + SematicRes5ROIHeads — the run_novel_pure_attention
+    combo (roi_heads.py:921-1172): pooled ROI features attend over the
+    class-embedding bank (``attention`` = the reference's OWN exec'd
+    SematicProposalAttention, injected), CE loss on the attention scores
+    (post-softmax, the reference's quirk — forward_att :1074-1081),
+    attended features (or, for CrossOutput, the bank-scored projection,
+    :1154-1171) routed to the cls head. cross_output +
+    attention_output_layer mirrors run_voc_distillate_rpn.sh:14's
+    FastRCNNAttentionOutputLayers (cls scores = att_x raw)."""
+
+    def __init__(self, *args, attention=None, sem_dim=300,
+                 cross_output=False, attention_output_layer=False, **kw):
+        super().__init__(*args, **kw)
+        c5 = self.roi_heads.res5[-1].conv3.weight.shape[0]
+        self.attention = attention
+        self.cross_output = cross_output
+        self.attention_output_layer = attention_output_layer
+        self.roi_heads.output_projection = nn.Linear(c5, sem_dim)
+        if attention_output_layer:
+            # FastRCNNAttentionOutputLayers has no cls_score parameter
+            del self.roi_heads.box_predictor.cls_score
+
+    def _predict(self, feature_pooled, gt_cls):
+        attn, out = self.attention(feature_pooled)
+        sim = out["sim2stext"]
+        if sim.dim() == 3:
+            sim = sim[0]
+        text_feat = out["text_feat"]
+        extra = {}
+        if self.cross_output:
+            att_feat = F.relu(self.roi_heads.output_projection(sim))
+            cls_in = att_feat @ text_feat.t()  # (N, C+1) bank scores
+        else:
+            cls_in = sim
+            if gt_cls is not None:  # train: CE on the attention scores
+                a = attn[0] if attn.dim() == 3 else attn
+                extra["loss_attentive"] = F.cross_entropy(
+                    a, gt_cls, reduction="mean"
+                )
+        if self.attention_output_layer:
+            scores = cls_in
+        else:
+            scores = self.roi_heads.box_predictor.cls_score(cls_in)
+        deltas = self.roi_heads.box_predictor.bbox_pred(feature_pooled)
+        return scores, deltas, extra
+
+
+class TorchGeneralizedDistillatedRCNN(TorchSemanticHeadRCNN):
+    """GeneralizedDistillatedRCNN (rcnn.py:209-321): multi-scale
+    vis->sem 1x1-conv projections MSE-distilled toward painted semantic
+    maps (loss_rpn_{res2,res3,res4}); the detection path stays raw res4
+    (inference passes gt=None, rcnn.py:235-237). Painting uses the
+    Semantic _expand_bbox (TRUNCATED end bound, rcnn.py:177-185) at
+    expand_rate 1.0."""
+
+    def __init__(self, *args, class_embed=None, sem_dim=300, **kw):
+        super().__init__(*args, sem_dim=sem_dim, **kw)
+        res2_out = self.roi_heads.res5[0].conv1.weight.shape[1] // 4
+        self.register_buffer("class_embed", torch.as_tensor(class_embed))
+        self.bg_feature = nn.Parameter(torch.randn(1, sem_dim))
+        self.sem_dim = sem_dim
+        self.vis2sem_proj = nn.ModuleDict(
+            {
+                scale: nn.Linear(res2_out * 2**i, sem_dim)
+                for i, scale in enumerate(("res2", "res3", "res4"))
+            }
+        )
+
+    def _expand_bbox_trunc(self, gt_box, max_size, stride):
+        # Semantic variant (rcnn.py:177-185): int() truncation, NO +1
+        x1, y1, x2, y2 = (gt_box / stride).tolist()
+        w, h = x2 - x1, y2 - y1
+        xc, yc = (x1 + x2) / 2, (y1 + y2) / 2
+        x1 = int(max(0, xc - w / 2))
+        y1 = int(max(0, yc - h / 2))
+        x2 = int(min(max_size[1], xc + w / 2))
+        y2 = int(min(max_size[0], yc + h / 2))
+        return x1, y1, x2, y2
+
+    def _paint(self, feat, gt_boxes, gt_classes, stride):
+        b, _, h, w = feat.shape
+        sem = self.bg_feature.expand(b, h, w, -1).clone()
+        for i in range(b):
+            for box, cls in zip(gt_boxes[i], gt_classes[i]):
+                x1, y1, x2, y2 = self._expand_bbox_trunc(box, (h, w), stride)
+                sem[i, y1:y2, x1:x2] = self.class_embed[cls]
+        return sem  # (B, H, W, sem)
+
+    def kd_losses(self, images, gt_boxes, gt_classes):
+        """The multi-scale distillation losses on raw backbone features
+        (_distillate_multi_scale_features, rcnn.py:304-321)."""
+        x = (images - self.pixel_mean) / self.pixel_std
+        x = self.backbone.stem(x)
+        feats = {}
+        feats["res2"] = self.backbone.res2(x)
+        feats["res3"] = self.backbone.res3(feats["res2"])
+        feats["res4"] = self.backbone.res4(feats["res3"])
+        strides = {"res2": 4, "res3": 8, "res4": 16}
+        losses = {}
+        for scale, f in feats.items():
+            sem = self._paint(f, gt_boxes, gt_classes, strides[scale])
+            proj = self.vis2sem_proj[scale](f.permute(0, 2, 3, 1))
+            losses[f"loss_rpn_{scale}"] = F.mse_loss(proj, sem)
+        return losses
+
+    def losses(self, images, image_hw, gt_boxes, gt_classes):
+        det = super().losses(images, image_hw, gt_boxes, gt_classes)
+        det.update(self.kd_losses(images, gt_boxes, gt_classes))
+        return det
