@@ -64,10 +64,14 @@ export FSODTF_DATASETS=${DATA_ROOT}
 python tools/_make_generalization_voc.py --root ${DATA_ROOT} \
     --train-2007 120 --train-2012 60 --val 60 --shots 10 --seed 0
 
-# Calibrated floors (2026-08-20, CPU tiny profile, seed 5 — NOTES
-# round-3/4 ledgers). Absolute floors leave >= 20 pts of margin for
-# seed/dataset-draw/platform noise (held-out nAP50 varied 53-81 across
-# draws); the PAIRED stats + the A/B are the tight instruments.
+# Calibrated floors (NOTES round-3/4 ledgers; round-4 measured BOTH
+# platforms on the same day, seed 5: TPU / CPU —
+#   base 92.3/92.3; ft bAP50 90.4/?(draws vary) nAP50 90.9+;
+#   sabotage delta 3.7; semantic 92.2-93.8; text painted 93.3/93.0;
+#   text serving (non-leaky) 86.3/76.2; distill cold student 93.3/93.1).
+# Absolute floors leave >= 20 pts of margin for seed/dataset-draw/
+# platform noise (held-out nAP50 varied 53-100 across draws); the
+# PAIRED stats + the A/B are the tight instruments.
 BASE_AP50_FLOOR=${BASE_AP50_FLOOR:-60}
 NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-30}
 BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-70}
