@@ -585,3 +585,53 @@ def test_no_gt_eval_forces_serving_path():
     np.testing.assert_allclose(
         serving.scores, np.asarray(det_no_gt.scores), atol=1e-6
     )
+
+
+def test_cross_roi_attention_masks_pad_rows():
+    """The LV teacher attention is CROSS-ROI (each query attends over
+    every row's text feature) — PAD slots must contribute NO keys/values:
+    outputs for the valid rows must equal running the attention on just
+    the valid rows (round-4 fix; found by the full-network text oracle)."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.models.attention import (
+        LVAttention,
+        LVAttentionTextDomination,
+    )
+
+    rng = np.random.RandomState(7)
+    n, nv, d = 24, 17, 32
+    b = bank()
+    vis = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, NUM_CLASSES + 1, n)
+    valid = np.zeros(n, bool)
+    valid[:nv] = True
+
+    for cls in (LVAttention, LVAttentionTextDomination):
+        mod = cls(input_size=d, class_embed=b, text_dim=SEM_DIM)
+        params = mod.init(
+            jax.random.PRNGKey(0), jnp.asarray(vis), jnp.asarray(labels)
+        )
+        _, full = mod.apply(
+            params, jnp.asarray(vis), jnp.asarray(labels), jnp.asarray(valid)
+        )
+        _, only_valid = mod.apply(
+            params, jnp.asarray(vis[:nv]), jnp.asarray(labels[:nv])
+        )
+        np.testing.assert_allclose(
+            np.asarray(full["sim2stext"])[:nv],
+            np.asarray(only_valid["sim2stext"]),
+            atol=1e-5,
+            err_msg=cls.__name__,
+        )
+        # and with every slot valid the mask is a no-op (bit-identical)
+        _, masked_all = mod.apply(
+            params, jnp.asarray(vis), jnp.asarray(labels),
+            jnp.ones(n, bool),
+        )
+        _, unmasked = mod.apply(
+            params, jnp.asarray(vis), jnp.asarray(labels)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(masked_all["sim2stext"]),
+            np.asarray(unmasked["sim2stext"]),
+            err_msg=cls.__name__,
+        )
