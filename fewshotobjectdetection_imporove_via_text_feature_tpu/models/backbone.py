@@ -23,6 +23,8 @@ from flax import linen as nn
 # ResNet stage specs: depth -> blocks per stage (res2, res3, res4, res5).
 RESNET_STAGES = {
     14: (1, 1, 1, 1),  # tiny depth for tests only
+    26: (2, 2, 2, 2),  # tiny multi-block depth for tests only: exercises
+    #                    identity-shortcut blocks (block1+) per stage
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
     152: (3, 8, 36, 3),

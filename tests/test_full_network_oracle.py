@@ -288,3 +288,80 @@ def test_full_network_inference_matches_torch_oracle(padded):
         np.testing.assert_allclose(
             ours_boxes, tb, atol=5e-3, err_msg=f"boxes img {i}"
         )
+
+
+def test_full_network_multiblock_depth_matches_torch_oracle():
+    """Depth 26 = (2, 2, 2, 2) blocks: exercises the IDENTITY-shortcut
+    bottlenecks (block1 of every stage — absent at depth 14, where every
+    block carries a projection shortcut) and the multi-block d2 naming
+    (backbone.res2.1.*, roi_heads.res5.1.*) through the weight-translation
+    and both forwards. Losses + inference; the depth-14 cases carry the
+    gradient checks."""
+    model = GeneralizedRCNN(
+        num_classes=NUM_CLASSES,
+        depth=26,
+        stem_out_channels=8,
+        res2_out_channels=16,
+        width_per_group=4,
+        freeze_at=0,
+        rpn_pre_nms_topk=(PRE_NMS, PRE_NMS),
+        rpn_post_nms_topk=(POST_NMS, POST_NMS),
+        rpn_batch_per_image=RPN_BATCH,
+        roi_batch_per_image=ROI_BATCH,
+        test_candidate_topk=POST_NMS * NUM_CLASSES,
+        cls_dropout=False,
+    )
+    oracle = TorchGeneralizedRCNN(
+        num_classes=NUM_CLASSES,
+        stem_out=8,
+        res2_out=16,
+        width_per_group=4,
+        blocks=(2, 2, 2),
+        res5_blocks=2,
+        rpn_pre_nms=PRE_NMS,
+        rpn_post_nms=POST_NMS,
+        rpn_batch=RPN_BATCH,
+    )
+    images, gt, canvas, hw, gt_boxes, gt_classes, gt_valid = _inputs(False)
+    params, state = _shared_state(model, images, gt)
+    assert any(".1.conv1.weight" in k for k in state), (
+        "multi-block naming not exercised"
+    )
+    _load_oracle(oracle, state)
+
+    timgs = torch.from_numpy(canvas.transpose(0, 3, 1, 2))
+    tb, tc = _torch_gt(gt_boxes, gt_classes, gt_valid)
+    tlosses = oracle.losses(timgs, [tuple(x) for x in hw.tolist()], tb, tc)
+
+    losses_j = jax.device_get(
+        model.apply(
+            {"params": params}, images, gt, train=True,
+            rngs={
+                "sampling": jax.random.PRNGKey(11),
+                "dropout": jax.random.PRNGKey(12),
+            },
+        )
+    )
+    for k in ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"):
+        np.testing.assert_allclose(
+            float(losses_j[k]), float(tlosses[k].detach()),
+            rtol=3e-3, atol=2e-6, err_msg=k,
+        )
+
+    det = jax.device_get(
+        jax.jit(functools.partial(model.apply, train=False))(
+            {"params": params}, images
+        )
+    )
+    tres = oracle.inference(timgs, [tuple(x) for x in hw.tolist()])
+    for i in range(2):
+        tb_i, ts_i, tc_i = (x.numpy() for x in tres[i])
+        valid = np.asarray(det.valid[i])
+        assert valid.sum() == tb_i.shape[0]
+        np.testing.assert_array_equal(np.asarray(det.classes[i])[valid], tc_i)
+        np.testing.assert_allclose(
+            np.asarray(det.scores[i])[valid], ts_i, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(det.boxes[i])[valid], tb_i, atol=5e-3
+        )
