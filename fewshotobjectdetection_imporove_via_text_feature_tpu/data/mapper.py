@@ -235,6 +235,22 @@ class DatasetMapper:
             return self._call_raw(record, plan)
         return self._call_host(record, plan)
 
+    @staticmethod
+    def _check_crop_fits(record: Dict, cropplan, h0: int, w0: int):
+        """The crop plan was derived from the record's height/width
+        metadata; a stale record (or EXIF-rotated file the metadata
+        missed) could place the crop outside the decoded pixels. Both
+        decode paths validate the decoded size against the plan — a
+        numpy/PIL slice would silently shrink (or zero-pad) instead of
+        erroring, leaving boxes in the wrong frame."""
+        y0, x0, ch, cw = cropplan
+        if y0 + ch > h0 or x0 + cw > w0:
+            raise ValueError(
+                f"{record['file_name']}: decoded size ({h0}, {w0}) is "
+                f"smaller than the planned crop {tuple(cropplan)} — fix "
+                f"the dataset's height/width fields"
+            )
+
     def _call_raw(self, record: Dict, plan: Dict):
         """Device-preprocess mode: emit RAW pixels in a source bucket plus
         the resize plan; pixels are resized/flipped on the TPU
@@ -262,13 +278,7 @@ class DatasetMapper:
             # With a crop plan, bucket/(bh,bw) derive from the crop extent,
             # so the bucket guard below can't see a stale height/width
             # record — validate the decoded size against the plan directly
-            # (a numpy slice would silently shrink instead of erroring)
-            if y0 + ch > h0 or x0 + cw > w0:
-                raise ValueError(
-                    f"{record['file_name']}: decoded size ({h0}, {w0}) is "
-                    f"smaller than the planned crop {plan['crop']} — fix "
-                    f"the dataset's height/width fields"
-                )
+            self._check_crop_fits(record, plan["crop"], h0, w0)
             arr = arr[y0 : y0 + ch, x0 : x0 + cw]
             h0, w0 = ch, cw
             if len(boxes):
@@ -329,15 +339,8 @@ class DatasetMapper:
         if cropplan is not None:
             # bucket below derives from the crop extent, not the decoded
             # size — a stale height/width record would otherwise yield a
-            # PIL zero-padded crop with boxes in the wrong frame; validate
-            # the decoded size against the plan explicitly
-            cy0, cx0, cch, ccw = cropplan
-            if cy0 + cch > h0 or cx0 + ccw > w0:
-                raise ValueError(
-                    f"{record['file_name']}: decoded size ({h0}, {w0}) is "
-                    f"smaller than the planned crop {cropplan} — fix the "
-                    f"dataset's height/width fields"
-                )
+            # PIL zero-padded crop with boxes in the wrong frame
+            self._check_crop_fits(record, cropplan, h0, w0)
         eh, ew = (cropplan[2], cropplan[3]) if cropplan else (h0, w0)
 
         short = plan["short"]

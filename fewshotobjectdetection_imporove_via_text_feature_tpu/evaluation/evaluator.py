@@ -99,10 +99,23 @@ def inference_on_dataset(
     # see PARITY. Plain archs keep gt out of evaluation entirely.
     # no_gt=True (cfg.TEST.NO_GT_EVAL) withholds GT even from painting
     # archs: the non-leaky serving-path evaluation (all-bg paint fallback)
-    feed_gt = (
-        not no_gt
-        and getattr(model, "eval_gt_role", "teacher") == "paint"
-    )
+    role = getattr(model, "eval_gt_role", "teacher")
+    if no_gt and role == "paint" and getattr(
+        model, "paint_replaces_features", False
+    ):
+        # Semantic family: detection features are SOLELY the painted map;
+        # withholding GT leaves an input-independent all-bg constant map,
+        # so a "non-leaky serving eval" would silently report meaningless
+        # metrics. Only the Text family (visual features concat'd with the
+        # paint) has a meaningful serving-path evaluation (ADVICE r4).
+        raise ValueError(
+            "TEST.NO_GT_EVAL is not meaningful for "
+            f"{type(model).__name__}: its detection features are solely "
+            "the painted semantic map, so withholding GT evaluates a "
+            "constant feature map. Use the Text family for non-leaky "
+            "serving evaluation, or drop TEST.NO_GT_EVAL."
+        )
+    feed_gt = not no_gt and role == "paint"
 
     # device-preprocess mode: fuse raw->resize into the inference program,
     # one compiled variant per target bucket

@@ -321,11 +321,20 @@ class GeneralizedSemanticRCNN(GeneralizedRCNN):
     evaluation. This build mirrors that (eval_gt_role = "paint"; the
     evaluator feeds GT to painting meta-archs) because the family's
     detection features ARE the painted map — without GT there is
-    nothing to detect from. Serving (DefaultPredictor, no GT) falls
-    back to raw visual features. See PARITY deviations.
+    nothing to detect from. Serving (DefaultPredictor, no GT) paints an
+    ALL-BACKGROUND map through the same sem2vis_proj (compute_features
+    below) so features stay in the training distribution; since that map
+    is input-independent, TEST.NO_GT_EVAL is rejected for this family
+    (evaluator guard) — a "non-leaky eval" would score a constant
+    feature map and report meaningless metrics. See PARITY deviations.
     """
 
     eval_gt_role = "paint"
+    # Detection features are SOLELY the painted map (no visual concat,
+    # unlike the Text family) — consumed by the evaluator's NO_GT_EVAL
+    # guard (ADVICE r4): withholding GT here yields an input-independent
+    # constant feature map, not a serving-path evaluation.
+    paint_replaces_features = True
 
     class_embed: Any = None  # np (C, sem)
     semantic_dim: int = 300

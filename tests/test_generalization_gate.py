@@ -22,10 +22,19 @@ a DISJOINT held-out val split and the production regularizers active:
 These are the slowest tests in the suite (~25 min each on a 1-core host,
 CPU); floors are wide (see the script's calibration notes) — the tight
 instruments are the paired stats and the sabotage A/B.
+
+Marked `gate` and DESELECTED by default (pyproject addopts keeps the
+default `pytest tests/ -q` under ~30 min on a 1-core host); run with
+`pytest tests/ -m gate` — validate_all.sh --full drives the full gate
+script regardless.
 """
 
 import os
 import subprocess
+
+import pytest
+
+pytestmark = pytest.mark.gate  # deselected by default (pyproject addopts)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -56,3 +65,23 @@ def test_heldout_generalization_gate_text_family(tmp_path):
     out = _run_gate(tmp_path, "text,serving,distill")
     assert "SERVING LEG PASSED" in out
     assert "DISTILL LEG PASSED" in out
+
+
+def test_heldout_generalization_gate_coco(tmp_path):
+    """COCO pipeline-family held-out evidence (VERDICT r4 task 1): base
+    train (60 classes) -> 60->80 IDMAP surgery -> gfsod 10-shot ->
+    COCOeval bAP/nAP floors + paired stats on a DISJOINT val split
+    (tools/check_generalization_coco.sh). Graduates the COCO pipeline
+    (id remap, surgery, cocosplit merging, bAP/nAP aggregation) from
+    overfit-only to held-out accuracy evidence."""
+    env = dict(os.environ, FSODTF_PLATFORM="cpu")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        ["bash", "tools/check_generalization_coco.sh",
+         str(tmp_path / "gencoco")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=5400,
+    )
+    tail = (r.stdout + r.stderr)[-6000:]
+    assert r.returncode == 0, tail
+    assert "COCO PAIRED STATS OK" in r.stdout, tail
+    assert "COCO GENERALIZATION GATE PASSED" in r.stdout, tail

@@ -587,6 +587,42 @@ def test_no_gt_eval_forces_serving_path():
     )
 
 
+def test_no_gt_eval_rejected_for_semantic_family():
+    """TEST.NO_GT_EVAL with the Semantic family is rejected (ADVICE r4):
+    its detection features are SOLELY the painted map, so withholding GT
+    would evaluate an input-independent constant feature map and report
+    meaningless metrics instead of a serving-path evaluation."""
+    from fewshotobjectdetection_imporove_via_text_feature_tpu.evaluation.evaluator import (
+        inference_on_dataset,
+    )
+
+    model = GeneralizedSemanticRCNN(
+        class_embed=bank(), bg_embed=bg(), semantic_dim=SEM_DIM, **TINY
+    )
+    images, gt = tiny_batch()
+
+    def loader():
+        yield images, gt, {"image_ids": ["i0"]}
+
+    with pytest.raises(ValueError, match="NO_GT_EVAL"):
+        inference_on_dataset(model, {}, loader(), None, no_gt=True)
+
+    # the Distillated subclass (eval_gt_role="none": raw-res4 detection
+    # path) must NOT trip the guard — NO_GT_EVAL is a no-op there
+    dmodel = GeneralizedDistillatedRCNN(
+        class_embed=bank(), bg_embed=bg(), semantic_dim=SEM_DIM, **TINY
+    )
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampling": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    dparams = jax.jit(functools.partial(dmodel.init, train=True))(
+        rngs, images, gt
+    )["params"]
+    inference_on_dataset(dmodel, dparams, loader(), None, no_gt=True)
+
+
 def test_cross_roi_attention_masks_pad_rows():
     """The LV teacher attention is CROSS-ROI (each query attends over
     every row's text feature) — PAD slots must contribute NO keys/values:

@@ -49,15 +49,29 @@ mkdir -p ${SAVE_DIR}
 
 LEGS=${GEN_LEGS:-base,control,ft,stats,ab,semantic,text,serving,distill}
 if [ "${GEN_SKIP_TEXT:-0}" = "1" ]; then
-    LEGS=$(echo "$LEGS" | sed -e 's/,text//' -e 's/,serving//' -e 's/,distill//')
+    # word-boundary strip on the comma-wrapped list: works at any
+    # position, incl. a custom GEN_LEGS that STARTS with 'text' (ADVICE r4)
+    LEGS=",${LEGS},"
+    for _l in text serving distill; do LEGS=${LEGS//,${_l},/,}; done
+    LEGS=${LEGS#,}; LEGS=${LEGS%,}
 fi
 if [ "${GEN_SABOTAGE:-0}" = "1" ]; then
     LEGS="base,control,ft,ab"
 fi
 if [ -n "${GEN_CACHED_BASE:-}" ] && [ -f "${GEN_CACHED_BASE}" ]; then
-    LEGS=$(echo "$LEGS" | sed -e 's/base,//' -e 's/^base$//')
+    LEGS=",${LEGS},"; LEGS=${LEGS//,base,/,}; LEGS=${LEGS#,}; LEGS=${LEGS%,}
 fi
 has() { case ",$LEGS," in *",$1,"*) return 0;; *) return 1;; esac; }
+# fail fast with a clear message when a leg's prerequisite artifact from an
+# earlier leg is missing (e.g. GEN_LEGS=stats with no prior run): the
+# python metric scraper's traceback is opaque (ADVICE r4)
+need() { # need <path> <leg> <producer-leg>
+    if [ ! -e "$1" ]; then
+        echo "ERROR: leg '$2' needs $1 — run the '$3' leg first" \
+             "(same SAVE_DIR) or add it to GEN_LEGS" >&2
+        exit 1
+    fi
+}
 
 DATA_ROOT=${SAVE_DIR}/datasets
 export FSODTF_DATASETS=${DATA_ROOT}
@@ -77,7 +91,13 @@ NOVEL_AP50_FLOOR=${NOVEL_AP50_FLOOR:-30}
 BASE_AFTER_FT_FLOOR=${BASE_AFTER_FT_FLOOR:-70}
 DROP_MARGIN=${DROP_MARGIN:-12}
 NOVEL_GAIN_MARGIN=${NOVEL_GAIN_MARGIN:-20}
-SAB_MARGIN=${SAB_MARGIN:-2}
+# Single-seed A/B floor. Round-5: demoted 2 -> 1 (worst measured draw
+# 4.2 = 4.2x headroom); the TIGHT statistical instrument is now the
+# PAIRED MULTI-SEED mean-delta assert in tools/run_stats_protocol.sh
+# (STATS_AB=1, margin 3 on the mean over >=3 k-shot draws), which does
+# not hang on one unlucky dataset draw the way a single-seed assert can
+# (round-4 ledger: deltas 7.8/16.8/4.2 across draws).
+SAB_MARGIN=${SAB_MARGIN:-1}
 SEM_NOVEL_FLOOR=${SEM_NOVEL_FLOOR:-25}
 SEM_BASE_FLOOR=${SEM_BASE_FLOOR:-60}
 TEXT_AP50_FLOOR=${TEXT_AP50_FLOOR:-25}
@@ -181,6 +201,8 @@ fi
 # --------------------------------------------------------------- stats --
 if has stats; then
 echo "=== paired statistics (VERDICT r3 task 7) ==="
+need ${SAVE_DIR}/10shot_seed0.log stats ft
+need ${SAVE_DIR}/control.log stats control
 if [ -f ${SAVE_DIR}/base1.log ]; then
     BASE_AP50=$(metric ${SAVE_DIR}/base1.log 1)
 else
@@ -212,6 +234,7 @@ fi
 # ------------------------------------------------------------------ ab --
 if has ab; then
 echo "=== contract A/B: sabotaged fine-tune (same seed) ==="
+need ${SAVE_DIR}/10shot_seed0.log ab ft
 # Discrimination proof for the GDL gradient contract. On this easy
 # synthetic task a broken contract degrades held-out base AP by single
 # digits (calibrated 2026-08-20: clean/sab bAP50 91.7/88.3 and 98.5/91.8
@@ -300,6 +323,7 @@ fi
 # ------------------------------------------------------------- serving --
 if has serving; then
 echo "=== text serving-path eval (NON-leaky: TEST.NO_GT_EVAL) ==="
+need ${SAVE_DIR}/text_base/model_final.ckpt serving text
 # VERDICT r3 task 3: the deployable path — no GT painted, the text map
 # falls back to all-background through the same fuse projection. A model
 # that only detects when GT is painted fails THIS leg while passing the
@@ -323,6 +347,7 @@ fi
 # ------------------------------------------------------------- distill --
 if has distill; then
 echo "=== two-stage teacher -> COLD student distillation ==="
+need ${SAVE_DIR}/text_base/model_final.ckpt distill text
 # run_text_train_Student.sh:26-33 distill combo: re-randomize the
 # student branch of the converged text teacher (reset_student surgery),
 # then train with DISTILLATE+L2+KL. Stage-2 stability constants mirror
