@@ -290,6 +290,108 @@ def test_full_network_inference_matches_torch_oracle(padded):
         )
 
 
+def test_full_network_stride_in_1x1_false_matches_torch_oracle():
+    """MODEL.RESNETS.STRIDE_IN_1X1=False — the torchvision conv convention
+    the vendored spec supports (resnet.py:390-404): the stage stride moves
+    from conv1 (1x1) to conv2 (3x3), which changes every strided block's
+    arithmetic AND forces the ROI pooled path to give up the strided-bin
+    elision (res5 block0's 3x3 stride-2 conv reads every 7x7 bin —
+    roi_heads.py gates use_elision on stride_in_1x1). Losses + a stem
+    gradient (the full-pool path through the GDL contract) + inference
+    (VERDICT r4 task 7; last untested backbone config axis)."""
+    model = GeneralizedRCNN(
+        num_classes=NUM_CLASSES,
+        depth=14,
+        stem_out_channels=8,
+        res2_out_channels=16,
+        width_per_group=4,
+        freeze_at=0,
+        stride_in_1x1=False,
+        rpn_pre_nms_topk=(PRE_NMS, PRE_NMS),
+        rpn_post_nms_topk=(POST_NMS, POST_NMS),
+        rpn_batch_per_image=RPN_BATCH,
+        roi_batch_per_image=ROI_BATCH,
+        test_candidate_topk=POST_NMS * NUM_CLASSES,
+        cls_dropout=False,
+    )
+    oracle = TorchGeneralizedRCNN(
+        num_classes=NUM_CLASSES,
+        stem_out=8,
+        res2_out=16,
+        width_per_group=4,
+        blocks=(1, 1, 1),
+        res5_blocks=1,
+        stride_in_1x1=False,
+        rpn_pre_nms=PRE_NMS,
+        rpn_post_nms=POST_NMS,
+        rpn_batch=RPN_BATCH,
+    )
+    images, gt, canvas, hw, gt_boxes, gt_classes, gt_valid = _inputs(False)
+    params, state = _shared_state(model, images, gt)
+    _load_oracle(oracle, state)
+
+    timgs = torch.from_numpy(canvas.transpose(0, 3, 1, 2))
+    tb, tc = _torch_gt(gt_boxes, gt_classes, gt_valid)
+    tlosses = oracle.losses(timgs, [tuple(x) for x in hw.tolist()], tb, tc)
+    sum(tlosses.values()).backward()
+
+    def loss_fn(p):
+        losses = model.apply(
+            {"params": p}, images, gt, train=True,
+            rngs={
+                "sampling": jax.random.PRNGKey(11),
+                "dropout": jax.random.PRNGKey(12),
+            },
+        )
+        return sum(
+            v for k, v in losses.items() if not k.startswith("metric/")
+        ), losses
+
+    (_, losses_j), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(params)
+    losses_j = jax.device_get(losses_j)
+    for k in ("loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"):
+        np.testing.assert_allclose(
+            float(losses_j[k]), float(tlosses[k].detach()),
+            rtol=3e-3, atol=2e-6, err_msg=k,
+        )
+
+    flat_grads = traverse_util.flatten_dict(jax.device_get(grads))
+    for path in (
+        ("backbone", "stem_conv1", "kernel"),
+        # block0's conv2: the conv that now carries the stage stride
+        ("roi_heads", "res5", "res5", "block0", "conv2", "kernel"),
+    ):
+        name, kind = _ours_to_d2(path)
+        t = dict(oracle.named_parameters())[name]
+        ref_g = _convert(t.grad.detach().numpy(), kind)
+        ours_g = np.asarray(flat_grads[path])
+        scale = np.abs(ref_g).max() + 1e-12
+        np.testing.assert_allclose(
+            ours_g, ref_g, atol=6e-3 * scale, rtol=0,
+            err_msg=f"grad {path}",
+        )
+
+    det = jax.device_get(
+        jax.jit(functools.partial(model.apply, train=False))(
+            {"params": params}, images
+        )
+    )
+    tres = oracle.inference(timgs, [tuple(x) for x in hw.tolist()])
+    for i in range(2):
+        tb_i, ts_i, tc_i = (x.numpy() for x in tres[i])
+        valid = np.asarray(det.valid[i])
+        assert valid.sum() == tb_i.shape[0]
+        np.testing.assert_array_equal(np.asarray(det.classes[i])[valid], tc_i)
+        np.testing.assert_allclose(
+            np.asarray(det.scores[i])[valid], ts_i, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(det.boxes[i])[valid], tb_i, atol=5e-3
+        )
+
+
 def test_full_network_multiblock_depth_matches_torch_oracle():
     """Depth 26 = (2, 2, 2, 2) blocks: exercises the IDENTITY-shortcut
     bottlenecks (block1 of every stage — absent at depth 14, where every

@@ -124,7 +124,8 @@ class Stem(nn.Module):
 class Backbone(nn.Module):
     """Stem + res2..res4 (vendored resnet.py:596-646, C4 output)."""
 
-    def __init__(self, stem_out, res2_out, width_per_group, blocks):
+    def __init__(self, stem_out, res2_out, width_per_group, blocks,
+                 stride_in_1x1=True):
         super().__init__()
         self.stem = Stem(stem_out)
         cin = stem_out
@@ -136,6 +137,7 @@ class Backbone(nn.Module):
                         width_per_group * 2**i,
                         res2_out * 2**i,
                         stride=(1 if i == 0 else 2) if j == 0 else 1,
+                        stride_in_1x1=stride_in_1x1,
                     )
                     for j in range(n)
                 ]
@@ -431,10 +433,14 @@ class TorchGeneralizedRCNN(nn.Module):
         test_topk=100,
         pixel_mean=(103.530, 116.280, 123.675),
         pixel_std=(1.0, 1.0, 1.0),
+        stride_in_1x1=True,  # MODEL.RESNETS.STRIDE_IN_1X1 (resnet.py:390-404)
     ):
         super().__init__()
         self.num_classes = num_classes
-        self.backbone = Backbone(stem_out, res2_out, width_per_group, blocks)
+        self.backbone = Backbone(
+            stem_out, res2_out, width_per_group, blocks,
+            stride_in_1x1=stride_in_1x1,
+        )
         c4 = res2_out * 4
         a = len(anchor_sizes) * len(aspect_ratios)
 
@@ -456,6 +462,7 @@ class TorchGeneralizedRCNN(nn.Module):
                             width_per_group * 8,
                             res2_out * 8,
                             stride=2 if j == 0 else 1,
+                            stride_in_1x1=stride_in_1x1,
                         )
                     )
                     cin = res2_out * 8
@@ -922,6 +929,54 @@ class TorchGeneralizedTextRCNN(TorchGeneralizedRCNN):
                 (boxes[mask][keep], scores[mask][keep], inds[:, 1][keep])
             )
         return results
+
+
+class TorchGeneralizedTextAttRCNN(TorchGeneralizedTextRCNN):
+    """Pixel-token attention fusion variant (rcnn.py:454-520): the text
+    map is projected to visual width (LtoVproj), q = vis tokens,
+    k = projected-text tokens, v = attproj(cat(vis, text)) tokens,
+    SingleHeadSiameseAttention over the H*W pixel tokens, and the
+    attention OUTPUT replaces the res4 features handed to RPN/ROI.
+
+    The reference's own ``add_semantic_features`` is dead code as
+    written: it reads the undefined ``self.semantic_features``
+    (rcnn.py:469), unpacks the attention's (output, attn) tuple into one
+    name and calls .view on the tuple (:516-518,
+    attentive_modules.py:178), paints with TRANSPOSED x/y indices and
+    truncated int() bounds (:502-504), and uses the LAST CLASS embedding
+    as background (:500). Our build repairs it minimally (documented,
+    PARITY #14): keep the Text family's paint (bg_feature +
+    _expand_bbox inclusive-end bounds) and apply the intended fusion
+    wiring above. This oracle mirrors the repaired semantics; the
+    attention core is the reference's OWN exec'd
+    SingleHeadSiameseAttention (injected by the caller), so the fusion
+    math still runs the reference's torch code verbatim."""
+
+    def __init__(self, *args, pixel_attention=None, **kw):
+        super().__init__(*args, **kw)
+        sem = self.class_embed.shape[1]
+        c = self.to_rpn_input_proj.weight.shape[0]  # res4 channels
+        self.LtoVproj = nn.Linear(sem, c)
+        self.attproj = nn.Linear(2 * c, c)
+        self.pixel_attention = pixel_attention
+        # to_rpn_input_proj (created by the parent) is UNUSED here, as in
+        # the reference (rcnn.py:489-520 never calls it)
+
+    def _add_semantic_features(self, feat, gt_boxes, gt_classes):
+        vis = feat.permute(0, 2, 3, 1)  # (B, H, W, C)
+        b, h, w, c = vis.shape
+        sem = self.bg_feature.expand(b, h, w, -1).clone()
+        for i in range(b):
+            for box, cls in zip(gt_boxes[i], gt_classes[i]):
+                x1, y1, x2, y2 = self._expand_bbox(box, (h, w), self.stride)
+                sem[i, y1:y2, x1:x2] = self.class_embed[cls]
+        text = self.LtoVproj(sem)
+        value = self.attproj(torch.cat([vis, text], dim=-1))
+        q = vis.reshape(b, h * w, c)
+        k = text.reshape(b, h * w, c)
+        v = value.reshape(b, h * w, c)
+        out, _ = self.pixel_attention(q=q, k=k, v=v)
+        return out.reshape(b, h, w, c).permute(0, 3, 1, 2)
 
 
 # ---------------------------------------------------------------------------
