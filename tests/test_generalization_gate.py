@@ -54,11 +54,12 @@ def _run_gate(tmp_path, legs):
 
 def test_heldout_generalization_gate_flagship(tmp_path):
     out = _run_gate(
-        tmp_path, "base,control,ft,stats,ab,semantic"
+        tmp_path, "base,control,ft,stats,ab,semantic,pcb"
     )
     assert "PAIRED STATS OK" in out
     assert "SABOTAGE DETECTED" in out
     assert "SEMANTIC LEG PASSED" in out
+    assert "PCB LEG PASSED" in out
 
 
 def test_heldout_generalization_gate_text_family(tmp_path):

@@ -20,6 +20,12 @@
 #   semantic  SematicRes5ROIHeads gfsod fine-tune from the same surgery
 #             ckpt (run_novel_pure_attention.sh:37 recipe) — held-out,
 #             NON-leaky (plain meta-arch, no painting)
+#   pcb       PCB EFFECT evidence (round 5): train the PCB's own
+#             torchvision-R101 extractor on GT crops (learned,
+#             class-separable — obtainable in-container, unlike ImageNet
+#             weights), re-eval the ft model with TEST.PCB_ENABLE True,
+#             and assert PCB-on nAP50 >= PCB-off nAP50 - PCB_EPS on the
+#             held-out split (calibration_layer.py:44-124 alpha-blend)
 #   text      GeneralizedTextRCNN teacher recipe base training
 #             (run_text_train_teacher.sh) — held-out, GT-painted eval
 #             (the reference's own protocol; PARITY #12)
@@ -47,7 +53,7 @@ SAVE_DIR=${1:-/tmp/check_generalization}
 rm -rf ${SAVE_DIR}
 mkdir -p ${SAVE_DIR}
 
-LEGS=${GEN_LEGS:-base,control,ft,stats,ab,semantic,text,serving,distill}
+LEGS=${GEN_LEGS:-base,control,ft,stats,ab,semantic,pcb,text,serving,distill}
 if [ "${GEN_SKIP_TEXT:-0}" = "1" ]; then
     # word-boundary strip on the comma-wrapped list: works at any
     # position, incl. a custom GEN_LEGS that STARTS with 'text' (ADVICE r4)
@@ -171,10 +177,11 @@ CONFIG=${CFG_ROOT}/voc/defrcn_gfsod_r101_novel1_10shot_seed0.yaml
 
 FT_GATE="[('bbox','nAP50',100.0,$((100-NOVEL_AP50_FLOOR))),('bbox','bAP50',100.0,$((100-BASE_AFTER_FT_FLOOR)))]"
 
-# PCB off in every leg: with no ImageNet weights in this container its
-# prototypes are random-feature rescores — pure noise on the floors.
-# PCB-enabled evaluation stays covered by both workflow smokes, the
-# on-chip PCB check, and the structured-feature sign test (test_pcb.py).
+# PCB off in the TRAINING legs (its effect there would confound the
+# floors); the dedicated 'pcb' leg below re-evals the ft model with a
+# LEARNED extractor and asserts the effect-level contract. (Before
+# round 5 PCB was off everywhere: with no ImageNet weights a random
+# extractor rescores with noise.)
 
 # ------------------------------------------------------------- control --
 if has control; then
@@ -292,6 +299,47 @@ python main.py --config-file ${CONFIG} \
     TEST.EXPECTED_RESULTS "[('bbox','nAP50',100.0,$((100-SEM_NOVEL_FLOOR))),('bbox','bAP50',100.0,$((100-SEM_BASE_FLOOR)))]" \
     ${TINY_OPTS} 2>&1 | tee ${OUT}.log
 echo "SEMANTIC LEG PASSED"
+fi
+
+# ----------------------------------------------------------------- pcb --
+if has pcb; then
+echo "=== PCB effect leg: learned extractor + held-out rescoring ==="
+# VERDICT r4 task 3: the alpha-blend rescoring path
+# (calibration_layer.py:106-124) gets an EFFECT-level test — not just
+# plumbing. The extractor is the PCB's own torchvision-R101 arch trained
+# on GT crops of the TRAIN pool (class-separable by construction of the
+# synthetic task; tools/train_pcb_extractor.py asserts it learned).
+need ${SAVE_DIR}/10shot_seed0.log pcb ft
+PCB_EPS=${PCB_EPS:-3}
+python tools/train_pcb_extractor.py --data-root ${DATA_ROOT} \
+    --out ${SAVE_DIR}/pcb_extractor.pth --iters ${PCB_TRAIN_ITERS:-150} \
+    2>&1 | tee ${SAVE_DIR}/pcb_train.log
+python main.py --config-file ${CONFIG} --eval-only \
+    --opts MODEL.WEIGHTS ${SAVE_DIR}/10shot_seed0/model_final.ckpt \
+    TEST.PCB_ENABLE True \
+    TEST.PCB_MODELPATH ${SAVE_DIR}/pcb_extractor.pth \
+    OUTPUT_DIR ${SAVE_DIR}/pcb_eval ${TINY_OPTS} \
+    2>&1 | tee ${SAVE_DIR}/pcb_eval.log
+OFF_NAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 7)
+ON_NAP50=$(metric ${SAVE_DIR}/pcb_eval.log 7)
+OFF_BAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 4)
+ON_BAP50=$(metric ${SAVE_DIR}/pcb_eval.log 4)
+python - <<PYEOF
+off_n, on_n = ${OFF_NAP50}, ${ON_NAP50}
+off_b, on_b = ${OFF_BAP50}, ${ON_BAP50}
+print(f"held-out nAP50: PCB off {off_n:.2f} -> on {on_n:.2f} "
+      f"(delta {on_n - off_n:+.2f}, eps ${PCB_EPS})")
+print(f"held-out bAP50: PCB off {off_b:.2f} -> on {on_b:.2f} "
+      f"(base classes are clsid-filtered on *_test_all — must be "
+      f"IDENTICAL)")
+# base classes are excluded from rescoring on the all-split
+# (calibration_layer clsid_filter); any bAP drift means the filter broke
+assert abs(on_b - off_b) < 1e-6, "PCB rescored base-class detections"
+assert on_n >= off_n - ${PCB_EPS}, (
+    f"PCB-on lost {off_n - on_n:.2f} held-out novel AP50 (> ${PCB_EPS}): "
+    f"the calibration hurts with a class-separable extractor")
+print("PCB LEG PASSED")
+PYEOF
 fi
 
 # ---------------------------------------------------------------- text --

@@ -49,12 +49,16 @@ run_step "dryrun_multichip(8)" \
 if [ "$FULL" = 1 ]; then
     run_step "full pytest suite" \
         timeout 3600 python -m pytest tests/ -q
-    # held-out generalization gate, flagship + text legs (~20 min CPU;
-    # the pytest suite already runs the flagship path via
-    # test_generalization_gate — this adds the text leg)
-    run_step "held-out generalization gate" \
-        env FSODTF_PLATFORM=cpu timeout 4500 \
+    # held-out generalization gates (~60-80 min CPU on a 1-core host:
+    # all VOC legs incl. the round-5 PCB-effect leg, plus the COCO gate).
+    # The gate-marked pytest tests cover the same paths but are
+    # deselected from the default suite (pyproject addopts).
+    run_step "held-out generalization gate (VOC)" \
+        env FSODTF_PLATFORM=cpu timeout 7200 \
         bash tools/check_generalization.sh /tmp/validate_gen
+    run_step "held-out generalization gate (COCO)" \
+        env FSODTF_PLATFORM=cpu timeout 4500 \
+        bash tools/check_generalization_coco.sh /tmp/validate_gen_coco
 fi
 
 # TPU-side artifacts
