@@ -627,17 +627,15 @@ class TorchGeneralizedRCNN(nn.Module):
                 else torch.zeros(order.shape[0], 4)
             )
 
-        # --- Res5 head (roi_heads.py:339-386) ---
+        # --- ROI head on the pooled map (roi_heads.py:339-386) ---
         pooled = torch.cat(
             [
                 roi_align(feat_rcnn[i], all_boxes[i], 7, 1.0 / self.stride)
                 for i in range(b)
             ]
         )
-        box_features = self.roi_heads.res5(pooled)
-        feature_pooled = box_features.mean(dim=[2, 3])
         gt_cls = torch.cat(all_gt_cls)
-        scores, pdeltas, extra_losses = self._predict(feature_pooled, gt_cls)
+        scores, pdeltas, extra_losses = self._predict_pooled(pooled, gt_cls)
 
         # --- FastRCNNOutputs.losses (fast_rcnn.py:222-304) ---
         gt_bx = torch.cat(all_gt_boxes)
@@ -664,6 +662,14 @@ class TorchGeneralizedRCNN(nn.Module):
             **extra_losses,
         }
 
+    def _predict_pooled(self, pooled, gt_cls):
+        """Pooled-map hook: (scores, deltas, extra_losses) from the raw
+        (R, C, 7, 7) ROIAlign output. The C4 path runs res5 + mean-pool
+        then _predict; the Standard-heads oracle overrides this to run
+        the two ConvFC towers on the raw map instead."""
+        feature_pooled = self.roi_heads.res5(pooled).mean(dim=[2, 3])
+        return self._predict(feature_pooled, gt_cls)
+
     def _predict(self, feature_pooled, gt_cls):
         """Head hook: (scores, deltas, extra_losses). The plain Res5 head;
         overridden by the semantic-head oracle (train-time gt_cls for its
@@ -687,8 +693,7 @@ class TorchGeneralizedRCNN(nn.Module):
         for i in range(images.shape[0]):
             pboxes = proposals[i][0]
             pooled = roi_align(feat_rcnn[i], pboxes, 7, 1.0 / self.stride)
-            x = self.roi_heads.res5(pooled).mean(dim=[2, 3])
-            raw_scores, pdeltas, _ = self._predict(x, None)
+            raw_scores, pdeltas, _ = self._predict_pooled(pooled, None)
             scores = F.softmax(raw_scores, dim=-1)[:, :-1]
             boxes = apply_deltas(pdeltas, pboxes, self.box_reg_weights)
             boxes = clip_boxes(boxes.reshape(-1, 4), image_hw[i]).reshape(
@@ -977,6 +982,73 @@ class TorchGeneralizedTextAttRCNN(TorchGeneralizedTextRCNN):
         v = value.reshape(b, h * w, c)
         out, _ = self.pixel_attention(q=q, k=k, v=v)
         return out.reshape(b, h, w, c).permute(0, 3, 1, 2)
+
+
+class _ConvFCTower(nn.Module):
+    """d2 FastRCNNConvFCHead (vendored box_head.py:17-99): [3x3 conv +
+    relu] x num_conv, flatten, [fc + relu] x num_fc."""
+
+    def __init__(self, cin, num_conv, conv_dim, num_fc, fc_dim, pooler=7):
+        super().__init__()
+        convs, c = [], cin
+        for _ in range(num_conv):
+            convs.append(nn.Conv2d(c, conv_dim, 3, padding=1))
+            c = conv_dim
+        self.convs = nn.ModuleList(convs)
+        fcs, d = [], c * pooler * pooler
+        for _ in range(num_fc):
+            fcs.append(nn.Linear(d, fc_dim))
+            d = fc_dim
+        self.fcs = nn.ModuleList(fcs)
+
+    def forward(self, x):
+        for conv in self.convs:
+            x = F.relu(conv(x))
+        x = x.flatten(1)
+        for fc in self.fcs:
+            x = F.relu(fc(x))
+        return x
+
+
+class TorchStandardHeadsRCNN(TorchGeneralizedRCNN):
+    """StandardROIHeads (the fork's roi_heads.py:389-526): no res5 in the
+    ROI path — the raw pooled 7x7 map goes to TWO separate ConvFC towers,
+    cls_head -> cls_predictor for the logits and box_head ->
+    box_predictor for the deltas (:500-509). Unused by every committed
+    config (all run Res5ROIHeads) but a live registry entry."""
+
+    def __init__(self, *args, num_conv=1, conv_dim=32, num_fc=2,
+                 fc_dim=64, **kw):
+        super().__init__(*args, **kw)
+        c4 = self.to_c4()
+        num_classes = self.num_classes
+        self.roi_heads.cls_head = _ConvFCTower(
+            c4, num_conv, conv_dim, num_fc, fc_dim
+        )
+        self.roi_heads.box_head = _ConvFCTower(
+            c4, num_conv, conv_dim, num_fc, fc_dim
+        )
+        # each predictor is a full output layer (the fork constructs two,
+        # :450-462); only cls_score of cls_predictor and bbox_pred of
+        # box_predictor are consumed
+        for name in ("cls_predictor", "box_predictor"):
+            mod = nn.Module()
+            mod.cls_score = nn.Linear(fc_dim, num_classes + 1)
+            mod.bbox_pred = nn.Linear(fc_dim, num_classes * 4)
+            setattr(self.roi_heads, name, mod)
+        del self.roi_heads.res5  # no res5 in this head
+
+    def to_c4(self):
+        return self.affine_rpn.weight.numel()
+
+    def _predict_pooled(self, pooled, gt_cls):
+        scores = self.roi_heads.cls_predictor.cls_score(
+            self.roi_heads.cls_head(pooled)
+        )
+        deltas = self.roi_heads.box_predictor.bbox_pred(
+            self.roi_heads.box_head(pooled)
+        )
+        return scores, deltas, {}
 
 
 # ---------------------------------------------------------------------------
