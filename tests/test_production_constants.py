@@ -74,8 +74,8 @@ def test_short_horizon_training_at_production_constants(tmp_path):
     data_root = tmp_path / "datasets"
     subprocess.run(
         [sys.executable, "tools/_make_generalization_voc.py",
-         "--root", str(data_root), "--train-2007", "40", "--train-2012",
-         "0", "--val", "8", "--shots", "1", "--seed", "0"],
+         "--root", str(data_root), "--train-2007", "32", "--train-2012",
+         "8", "--val", "8", "--shots", "1", "--seed", "0"],
         cwd=REPO, check=True, capture_output=True, text=True,
     )
     out_dir = tmp_path / "run"
