@@ -312,7 +312,7 @@ echo "=== PCB effect leg: learned extractor + held-out rescoring ==="
 need ${SAVE_DIR}/10shot_seed0.log pcb ft
 PCB_EPS=${PCB_EPS:-3}
 python tools/train_pcb_extractor.py --data-root ${DATA_ROOT} \
-    --out ${SAVE_DIR}/pcb_extractor.pth --iters ${PCB_TRAIN_ITERS:-150} \
+    --out ${SAVE_DIR}/pcb_extractor.pth --iters ${PCB_TRAIN_ITERS:-200} \
     2>&1 | tee ${SAVE_DIR}/pcb_train.log
 python main.py --config-file ${CONFIG} --eval-only \
     --opts MODEL.WEIGHTS ${SAVE_DIR}/10shot_seed0/model_final.ckpt \
@@ -324,7 +324,8 @@ OFF_NAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 7)
 ON_NAP50=$(metric ${SAVE_DIR}/pcb_eval.log 7)
 OFF_BAP50=$(metric ${SAVE_DIR}/10shot_seed0.log 4)
 ON_BAP50=$(metric ${SAVE_DIR}/pcb_eval.log 4)
-python - <<PYEOF
+python - ${SAVE_DIR} <<PYEOF
+import json, sys
 off_n, on_n = ${OFF_NAP50}, ${ON_NAP50}
 off_b, on_b = ${OFF_BAP50}, ${ON_BAP50}
 print(f"held-out nAP50: PCB off {off_n:.2f} -> on {on_n:.2f} "
@@ -338,6 +339,27 @@ assert abs(on_b - off_b) < 1e-6, "PCB rescored base-class detections"
 assert on_n >= off_n - ${PCB_EPS}, (
     f"PCB-on lost {off_n - on_n:.2f} held-out novel AP50 (> ${PCB_EPS}): "
     f"the calibration hurts with a class-separable extractor")
+# score-level contract on the detection dumps: the PCB must have ACTUALLY
+# rescored (a silently-disabled PCB would pass the AP asserts trivially),
+# and only NOVEL detections may change (base = contiguous ids 0-14 on the
+# all1 split, novel = 15-19; calibration_layer.py:126-139)
+sd = sys.argv[1]
+key = lambda d: (d["image_id"], d["category_id"],
+                 tuple(round(v, 2) for v in d["bbox"]))
+off_scores = {key(d): d["score"] for d in json.load(
+    open(f"{sd}/10shot_seed0/coco_instances_results.json"))}
+changed_novel = changed_base = 0
+for d in json.load(open(f"{sd}/pcb_eval/coco_instances_results.json")):
+    s0 = off_scores.get(key(d))
+    if s0 is not None and abs(d["score"] - s0) > 1e-6:
+        if d["category_id"] >= 15:
+            changed_novel += 1
+        else:
+            changed_base += 1
+print(f"rescored detections: {changed_novel} novel, {changed_base} base")
+assert changed_base == 0, "clsid filter broke: base scores changed"
+assert changed_novel > 0, (
+    "PCB changed NO novel scores — rescoring silently inactive")
 print("PCB LEG PASSED")
 PYEOF
 fi
