@@ -80,7 +80,7 @@ def test_heldout_generalization_gate_coco(tmp_path):
     r = subprocess.run(
         ["bash", "tools/check_generalization_coco.sh",
          str(tmp_path / "gencoco")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=5400,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=7200,
     )
     tail = (r.stdout + r.stderr)[-6000:]
     assert r.returncode == 0, tail

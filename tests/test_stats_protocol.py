@@ -34,7 +34,7 @@ def test_multiseed_stats_protocol_with_paired_ab(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     r = subprocess.run(
         ["bash", "tools/run_stats_protocol.sh", str(tmp_path / "stats")],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=9000,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=10800,
     )
     tail = (r.stdout + r.stderr)[-8000:]
     assert r.returncode == 0, tail
